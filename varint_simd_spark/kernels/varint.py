@@ -81,10 +81,9 @@ def varint_len(values: np.ndarray) -> np.ndarray:
     (reference: src/encode/mod.rs:78-81): len = max(1, ceil(bit_length/7)).
     """
     v = _as_u64(values)
-    lens = np.ones(v.shape, dtype=np.int64)
-    for t in _LEN_THRESHOLDS:
-        lens += (v >= t).astype(np.int64)
-    return lens
+    # binary search of each value among the 128^k thresholds: one pass,
+    # ~log2(9) comparisons per element
+    return np.searchsorted(_LEN_THRESHOLDS, v, side="right").astype(np.int64) + 1
 
 
 def encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
@@ -101,15 +100,24 @@ def encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     if n == 0:
         return b"", np.zeros(0, dtype=np.int64)
     lens = varint_len(v)
-    # (n, 10) matrix of 7-bit groups: groups[i, k] = (v[i] >> 7k) & 0x7F
-    groups = ((v[:, None] >> _SHIFTS10[None, :]) & _LOW7).astype(np.uint8)
-    pos = np.arange(10, dtype=np.int64)
-    keep = pos[None, :] < lens[:, None]
-    # continuation bit on every byte but the last of each value
-    cont = pos[None, :] < (lens[:, None] - 1)
-    groups |= cont.astype(np.uint8) << 7
-    payload = groups[keep]  # row-major boolean pick = adjacent varints
-    return payload.tobytes(), lens
+    starts = np.cumsum(lens) - lens
+    out = np.empty(int(starts[-1] + lens[-1]), dtype=np.uint8)
+    # Length-grouped vectorized build: all values of encoded length L form a
+    # (k, L) slab computed in L whole-array ops and scattered with one fancy
+    # index.  At most 10 groups — the column-scale analog of the reference's
+    # per-length shuffle dispatch (src/decode/mod.rs:583-614).
+    for L in range(1, 11):
+        sel = lens == L
+        if not sel.any():
+            continue
+        vals = v[sel]
+        pos = starts[sel]
+        for j in range(L):
+            byte = ((vals >> _U64(7 * j)) & _LOW7).astype(np.uint8)
+            if j < L - 1:
+                byte |= _CONT
+            out[pos + j] = byte
+    return out.tobytes(), lens
 
 
 def encode_single(value: int) -> bytes:
@@ -210,23 +218,24 @@ def decode(
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
 
-    # 7-bit gather: payload bits shifted to position, summed per varint.
-    # The vectorized analog of the reference's PEXT gather
-    # (src/num.rs:69-71) + two-word recombine (src/decode/mod.rs:169-201):
-    # np.add.reduceat over value boundaries is the whole-column "shuffle".
-    payload7 = (buf & np.uint8(0x7F)).astype(np.uint64)
-    idx = np.arange(buf.size, dtype=np.int64)
-    starts_rep = np.repeat(starts, lens)
-    shifts = (idx - starts_rep).astype(np.uint64) * _SEVEN
-    if not safe:
-        # unchecked mode may see absurd lengths; drop bits shifted past 63
-        # (they cannot contribute to a u64 anyway)
-        over = shifts > _U64(63)
-        if over.any():
-            payload7 = np.where(over, _U64(0), payload7)
-            shifts = np.where(over, _U64(0), shifts)
-    contrib = payload7 << shifts
-    values = np.add.reduceat(contrib, starts)
+    # 7-bit gather, length-grouped: for each encoded length L, all values of
+    # that length are recombined in L whole-array shift-OR ops — the
+    # column-scale analog of the reference's PEXT gather (src/num.rs:69-71)
+    # and two-word recombine (src/decode/mod.rs:169-201).
+    values = np.zeros(n, dtype=np.uint64)
+    low7 = np.uint8(0x7F)
+    max_len = int(lens.max())
+    for L in range(1, max_len + 1):
+        sel = lens == L
+        if not sel.any():
+            continue
+        pos = starts[sel]
+        # gather only this group's bytes (uint8), widen the small slices —
+        # avoids materializing an 8x-expanded copy of the whole stream
+        acc = (buf[pos] & low7).astype(np.uint64)
+        for j in range(1, min(L, 10)):
+            acc |= (buf[pos + j] & low7).astype(np.uint64) << (_SEVEN * _U64(j))
+        values[sel] = acc
 
     if width < 64:
         mask = _U64((1 << width) - 1)
