@@ -1,0 +1,109 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints exactly ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "gb": ..., "gbps": ...}
+
+Throughput definition: raw (uncompressed) column bytes processed / wall
+second, aggregated over encode+decode of the web_pages-style table and the
+TPC-H-ish testdata tables — comparable to BASELINE.md's GB/s-scale bar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators import decode_table, encode_table
+    from varint_simd_spark.sources.session import get_spark
+    from varint_simd_spark.sources.web_pages import generate_web_pages
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus) * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="vss_bench_")
+    times: dict[str, float] = {}
+    bytes_processed: dict[str, int] = {}
+    n_chunks = int(cpus) * 4
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        log(f"{name}: {times[name]:.2f}s")
+        return out
+
+    # --- web_pages synthetic (the north-rule table) -----------------------
+    n_pages = 120_000
+    wp = generate_web_pages(spark, n_pages, seed=42)
+    wp.write.mode("overwrite").parquet(f"{tmp}/web_pages")
+    wp = spark.read.parquet(f"{tmp}/web_pages")
+    raw_wp = wp.select(
+        F.sum(F.length("url") + F.lit(8) + F.length("html") + F.length("text") + F.length("lang"))
+    ).collect()[0][0]
+
+    timed("encode_web_pages", lambda: encode_table(wp, key="url", n_chunks=n_chunks)
+          .write.mode("overwrite").parquet(f"{tmp}/wp_enc"))
+    enc_wp = spark.read.parquet(f"{tmp}/wp_enc")
+    timed("decode_web_pages", lambda: decode_table(enc_wp)
+          .agg(F.sum(F.length("text"))).collect())
+    bytes_processed["encode_web_pages"] = raw_wp
+    bytes_processed["decode_web_pages"] = raw_wp
+
+    # --- lineitem (TPC-H-ish integer/date/float mix) ----------------------
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    raw_li = li.count() * 8 * len(li.columns)  # int64-equivalent raw bytes
+    timed("encode_lineitem", lambda: encode_table(li, key="l_orderkey", n_chunks=n_chunks)
+          .write.mode("overwrite").parquet(f"{tmp}/li_enc"))
+    enc_li = spark.read.parquet(f"{tmp}/li_enc")
+    timed("decode_lineitem", lambda: decode_table(enc_li)
+          .agg(F.sum("l_orderkey")).collect())
+    bytes_processed["encode_lineitem"] = raw_li
+    bytes_processed["decode_lineitem"] = raw_li
+
+    # --- native varint-length aggregation (JVM-side, WSCG) ----------------
+    from varint_simd_spark.driver_queries import varint_len_col
+
+    timed("varint_len_agg", lambda: li.groupBy("l_returnflag")
+          .agg(F.sum(varint_len_col("l_orderkey")).alias("b")).collect())
+    bytes_processed["varint_len_agg"] = raw_li // len(li.columns)
+
+    total_sec = round(sum(times.values()), 3)
+    total_gb = sum(bytes_processed.values()) / 1e9
+    result = {
+        "metric": "encode+decode wall time (headline queries)",
+        "value": total_sec,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "gb": round(total_gb, 3),
+        "gbps": round(total_gb / total_sec, 3),
+        "cpus": int(cpus),
+        "web_pages_rows": n_pages,
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Codec-layer round-trip tests: every codec, every dtype tag, nulls,
+empties, adversarial strings — all bit-identical (north-rule invariant)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from varint_simd_spark.codecs import (
+    INT_CODECS,
+    STR_CODECS,
+    choose_codec,
+    decode_column,
+    encode_column,
+)
+from varint_simd_spark.codecs.container import pack_sections, unpack_sections
+
+rng = np.random.default_rng(42)
+
+INT_FIXTURES = {
+    "small": np.arange(1000, dtype=np.int64),
+    "negatives": rng.integers(-(10**6), 10**6, 500).astype(np.int64),
+    "sorted_ts": np.cumsum(rng.integers(0, 120_000_000, 2000)).astype(np.int64),
+    "back_jumps": np.cumsum(rng.integers(-5_000_000, 120_000_000, 2000)).astype(np.int64),
+    "runs": np.repeat(rng.integers(0, 5, 50), rng.integers(1, 40, 50)).astype(np.int64),
+    "extremes": np.array([0, -1, 1, 2**63 - 1, -(2**63), 300, -300], dtype=np.int64),
+    "single": np.array([42], dtype=np.int64),
+    "empty": np.zeros(0, dtype=np.int64),
+    "constant": np.full(777, 123456789, dtype=np.int64),
+}
+
+
+@pytest.mark.parametrize("codec", list(INT_CODECS))
+@pytest.mark.parametrize("fixture", list(INT_FIXTURES))
+def test_int_codec_roundtrip(codec, fixture):
+    v = INT_FIXTURES[fixture]
+    impl = INT_CODECS[codec]
+    payload, params = impl.encode(v)
+    out = impl.decode(payload, params, len(v))
+    np.testing.assert_array_equal(out, v)
+
+
+STR_FIXTURES = {
+    "plain": [b"hello", b"world", b"hello", b"spark"],
+    "empty_vals": [b"", b"a", b"", b"", b"bb"],
+    "unicode": ["héllo wörld".encode(), "中文测试".encode(), "🎉emoji".encode()],
+    "runs": [b"en"] * 50 + [b"de"] * 30 + [b"en"] * 20,
+    "binary_soup": [bytes(rng.integers(0, 256, rng.integers(0, 100))) for _ in range(50)],
+    "escape_heavy": [b"\xff\xff\xff", b"a\xffb", b"\xff"],
+    "long_text": [(("the quick brown fox jumps over the lazy dog " * 20).encode()) for _ in range(10)],
+    "single": [b"only"],
+    "empty": [],
+}
+
+
+@pytest.mark.parametrize("codec", list(STR_CODECS))
+@pytest.mark.parametrize("fixture", list(STR_FIXTURES))
+def test_str_codec_roundtrip(codec, fixture):
+    vals = STR_FIXTURES[fixture]
+    impl = STR_CODECS[codec]
+    payload, params = impl.encode(vals)
+    out = impl.decode(payload, params, len(vals))
+    assert out == vals
+
+
+def test_fsst_compresses_english():
+    text = [("the quick brown fox jumps over the lazy dog " * 50).encode()] * 20
+    payload, params = STR_CODECS["fsst"].encode(text)
+    raw = sum(len(t) for t in text)
+    assert len(payload) < 0.8 * raw, f"fsst ratio {len(payload)/raw:.2f}"
+
+
+def test_container_roundtrip():
+    secs = [b"", b"abc", bytes(range(256)), b"x" * 100000]
+    assert unpack_sections(pack_sections(secs)) == secs
+
+
+SERIES_FIXTURES = {
+    "i64": pd.Series([1, -5, 2**40, 0], dtype=np.int64),
+    "i32": pd.Series([1, -5, 1000, 0], dtype=np.int32),
+    "f64": pd.Series([1.5, -0.0, float("inf"), 3.14159, float("nan")]),
+    "ts": pd.Series(pd.to_datetime(["2024-10-08", "2024-10-09 12:34:56.789123", "1999-01-01"], format="mixed")),
+    "str": pd.Series(["a", "bb", None, "ddd"], dtype=object),
+    "bool": pd.Series([True, False, True]),
+    "date": pd.Series(pd.to_datetime(["2024-10-08", "1992-01-01"]).date, dtype=object),
+}
+
+
+@pytest.mark.parametrize("name", list(SERIES_FIXTURES))
+def test_encode_decode_column_auto(name):
+    s = SERIES_FIXTURES[name]
+    codec, reason, _ = choose_codec(s)
+    tag, payload, params = encode_column(s, codec)
+    out = decode_column(tag, codec, payload, params, len(s))
+    if name == "f64":
+        # bit-identical incl. NaN / -0.0
+        a = s.to_numpy(dtype=np.float64).view(np.int64)
+        b = out.to_numpy(dtype=np.float64).view(np.int64)
+        np.testing.assert_array_equal(a, b)
+    elif name == "str":
+        assert list(out) == list(s)
+    else:
+        assert list(out) == list(s), f"codec={codec} reason={reason}"
+
+
+def test_nulls_roundtrip_int():
+    s = pd.Series([1, None, 3, None, 5], dtype="float64").astype(object)
+    s = pd.Series([1, None, 3, None, 5], dtype=object).astype("object")
+    s = pd.Series([1.0, None, 3.0], dtype=np.float64)
+    tag, payload, params = encode_column(s, "raw64")
+    out = decode_column(tag, "raw64", payload, params, len(s))
+    assert out.isna().tolist() == s.isna().tolist()
+
+
+def test_choose_picks_sensible():
+    ts = pd.Series(np.cumsum(rng.integers(0, 120, 5000)).astype("datetime64[us]"))
+    codec, _, _ = choose_codec(ts)
+    assert codec in ("delta_zz_varint", "for_bitpack")
+    lang = pd.Series(["en"] * 900 + ["de"] * 100, dtype=object)
+    codec, _, _ = choose_codec(lang)
+    assert codec in ("rle_str", "dict_str")
+    ids = pd.Series(rng.integers(0, 100, 5000).astype(np.int64))
+    codec, _, _ = choose_codec(ids)
+    assert codec in ("for_bitpack", "varint")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=60), min_size=0, max_size=60))
+def test_property_fsst_roundtrip(vals):
+    impl = STR_CODECS["fsst"]
+    payload, params = impl.encode(vals)
+    assert impl.decode(payload, params, len(vals)) == vals
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=0, max_size=80),
+    st.sampled_from(list(INT_CODECS)),
+)
+def test_property_int_codecs(vals, codec):
+    v = np.array(vals, dtype=np.int64)
+    impl = INT_CODECS[codec]
+    payload, params = impl.encode(v)
+    np.testing.assert_array_equal(impl.decode(payload, params, len(v)), v)

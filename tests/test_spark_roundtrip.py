@@ -1,0 +1,99 @@
+"""End-to-end Spark tests: encode_table -> decode_table round trip must be
+bit-identical (north-rule invariant: byte-identical text per url), and the
+encoded size must be <= the reference encoder's output."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from varint_simd_spark.operators import chunk_metrics, decode_table, encode_table
+from varint_simd_spark.sources.web_pages import generate_web_pages
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def web_pages(spark):
+    df = generate_web_pages(spark, 2000, seed=42)
+    df.cache().count()
+    return df
+
+
+def test_web_pages_deterministic(spark):
+    a = generate_web_pages(spark, 500, seed=42).orderBy("url").collect()
+    b = generate_web_pages(spark, 500, seed=42).orderBy("url").collect()
+    assert a == b
+    c = generate_web_pages(spark.newSession(), 500, seed=7).orderBy("url").collect()
+    assert a != c
+
+
+def test_web_pages_characteristics(web_pages, spark):
+    from pyspark.sql import functions as F
+
+    pdf = web_pages.toPandas()
+    # negative warc_ts deltas exist in page order (zigzag exercised)
+    micros = pdf["warc_ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    order = pdf["url"].str.extract(r"/p/(\d+)$")[0].astype(int).to_numpy()
+    deltas = np.diff(micros[np.argsort(order)])
+    assert (deltas < 0).sum() > 0
+    # host skew: top host should have many more pages than median host
+    hosts = web_pages.select(F.substring_index("url", "/", 3).alias("h")).groupBy("h").count()
+    counts = [r["count"] for r in hosts.collect()]
+    assert max(counts) > 10 * np.median(counts)
+    # lang low cardinality
+    assert web_pages.select("lang").distinct().count() <= 8
+    # html wraps text
+    assert all(
+        t.encode() in h for t, h in zip(pdf["text"].head(20), pdf["html"].head(20))
+    )
+
+
+def test_web_pages_roundtrip_bit_identical(web_pages, spark):
+    enc = encode_table(web_pages, key="url", n_chunks=8)
+    enc.cache()
+    dec = decode_table(enc)
+
+    src = web_pages.toPandas().sort_values("url", ignore_index=True)
+    out = dec.drop("__chunk").toPandas().sort_values("url", ignore_index=True)
+
+    assert list(out.columns) == list(src.columns)
+    assert len(out) == len(src)
+    # byte-identical text per url (north rule)
+    assert (out["text"] == src["text"]).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(out["html"], src["html"]))
+    assert (out["lang"] == src["lang"]).all()
+    # bit-identical timestamps
+    a = out["warc_ts"].astype("datetime64[us]").astype(np.int64)
+    b = src["warc_ts"].astype("datetime64[us]").astype(np.int64)
+    assert (a.to_numpy() == b.to_numpy()).all()
+
+    # compressed size <= reference encoder output, per column (BASELINE.md)
+    m = chunk_metrics(enc).toPandas()
+    assert (m["enc_bytes"] <= m["ref_bytes"]).all(), m[["column", "codec", "enc_bytes", "ref_bytes"]]
+
+
+def test_lineitem_roundtrip(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    enc = encode_table(li, key="l_orderkey", n_chunks=4)
+    dec = decode_table(enc).drop("__chunk")
+
+    sort_cols = ["l_orderkey", "l_linenumber"]
+    src = li.toPandas().sort_values(sort_cols, ignore_index=True)
+    out = dec.toPandas().sort_values(sort_cols, ignore_index=True)[src.columns.tolist()]
+    for col in src.columns:
+        a, b = src[col], out[col]
+        if a.dtype == np.float64:
+            np.testing.assert_array_equal(a.to_numpy().view(np.int64), b.to_numpy().view(np.int64))
+        else:
+            assert (a == b).all(), col
+
+
+def test_decode_is_shuffle_lean(web_pages):
+    """The encode plan should contain exactly one exchange (the chunk
+    groupBy); decode adds one more on chunk_id."""
+    enc = encode_table(web_pages, key="url", n_chunks=8)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-adaptive plan too
+    assert final_plan.count("Exchange") <= 1, final_plan

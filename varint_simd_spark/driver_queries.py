@@ -1,0 +1,194 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB-oracle SQL equivalent.
+
+Round-trip queries prove the north-rule invariant (bit-identical decode)
+through the full Spark path: encode_table -> encoded chunks -> decode_table.
+Oracle = identity select (round trip ⇒ equality).  Native-expression
+queries (zigzag, varint length) prove the JVM-side WSCG functions against
+arithmetic CASE oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import chunk_metrics, decode_table, encode_table
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# round trips through the full encode/decode pipeline
+
+
+def _roundtrip(spark, sf_dir, table, key, cols, codecs=None, n_chunks=8):
+    df = _read(spark, sf_dir, table)
+    enc = encode_table(df, key=key, codecs=codecs or {}, n_chunks=n_chunks)
+    return decode_table(enc).select(*cols)
+
+
+def q_auto_roundtrip_lineitem(spark, sf_dir):
+    """Flagship: whole-table auto-codec round trip."""
+    df = _read(spark, sf_dir, "lineitem")
+    enc = encode_table(df, key="l_orderkey", n_chunks=8)
+    return decode_table(enc).drop("__chunk")
+
+
+def q_varint_roundtrip_orders_keys(spark, sf_dir):
+    return _roundtrip(
+        spark, sf_dir, "orders", "o_orderkey",
+        ["o_orderkey", "o_custkey"],
+        codecs={"o_orderkey": "varint", "o_custkey": "varint"},
+    )
+
+
+def q_varint_zz_roundtrip_events_value(spark, sf_dir):
+    return _roundtrip(
+        spark, sf_dir, "events", "event_id",
+        ["event_id", "value"],
+        codecs={"event_id": "varint", "value": "raw64"},
+    )
+
+
+def q_delta_zz_roundtrip_events_ts(spark, sf_dir):
+    return _roundtrip(
+        spark, sf_dir, "events", "event_id",
+        ["event_id", "ts"],
+        codecs={"event_id": "delta_zz_varint", "ts": "delta_zz_varint"},
+    )
+
+
+def q_for_bitpack_roundtrip_lineitem(spark, sf_dir):
+    return _roundtrip(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+        codecs={"l_orderkey": "for_bitpack", "l_linenumber": "for_bitpack", "l_quantity": "for_bitpack"},
+    )
+
+
+def q_rle_roundtrip_lineitem_flags(spark, sf_dir):
+    return _roundtrip(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+        codecs={"l_returnflag": "rle_str", "l_linestatus": "rle_str"},
+    )
+
+
+def q_dict_roundtrip_documents(spark, sf_dir):
+    return _roundtrip(
+        spark, sf_dir, "documents", "doc_id",
+        ["doc_id", "lang", "source"],
+        codecs={"lang": "dict_str", "source": "dict_str"},
+    )
+
+
+def q_fsst_roundtrip_documents_text(spark, sf_dir):
+    return _roundtrip(
+        spark, sf_dir, "documents", "doc_id",
+        ["doc_id", "text"],
+        codecs={"text": "fsst"},
+    )
+
+
+# --------------------------------------------------------------------------
+# native-expression operators (JVM-side, whole-stage codegen)
+
+# NB: 128^9 = 2^63 overflows a signed long; a negative long is a u64 in
+# [2^63, 2^64) under two's complement => always 10 varint bytes.
+_VARINT_LEN_CASE_SQL = (
+    "CASE WHEN {col} < 0 THEN 10 "
+    + " ".join(f"WHEN {{col}} < {128**k} THEN {k}" for k in range(1, 9))
+    + " ELSE 9 END"
+)
+
+
+def varint_len_col(col: str):
+    """Native varint-length expression (reference branchless length,
+    src/encode/mod.rs:78-81, as a CASE over 128^k thresholds)."""
+    expr = F.lit(9)
+    for k in range(8, 0, -1):
+        expr = F.when(F.col(col) < 128**k, k).otherwise(expr)
+    return F.when(F.col(col) < 0, 10).otherwise(expr)
+
+
+def q_varint_len_orders(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders")
+    return df.select(
+        "o_orderkey",
+        varint_len_col("o_orderkey").cast("int").alias("vlen"),
+    )
+
+
+def q_varint_size_by_priority(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders")
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.sum(varint_len_col("o_custkey")).alias("varint_bytes"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_zigzag_native_orders(spark, sf_dir):
+    """ZigZag as a native bitwise expression (src/num.rs:473-481):
+    (n<<1) ^ (n>>63) with arithmetic shiftright."""
+    df = _read(spark, sf_dir, "orders")
+    n = (F.col("o_custkey") - F.lit(750)).cast("long")
+    zz = F.expr("(shiftleft(CAST(o_custkey - 750 AS BIGINT), 1)) ^ (shiftright(CAST(o_custkey - 750 AS BIGINT), 63))")
+    return df.select("o_orderkey", n.alias("n"), zz.alias("zz"))
+
+
+# --------------------------------------------------------------------------
+# lineage / metrics (rows-only check: aggregates of engine-internal sizes)
+
+
+def q_compression_metrics_lineitem(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem")
+    enc = encode_table(df, key="l_orderkey", n_chunks=8)
+    return chunk_metrics(enc)
+
+
+QUERIES = {
+    "auto_roundtrip_lineitem": q_auto_roundtrip_lineitem,
+    "varint_roundtrip_orders_keys": q_varint_roundtrip_orders_keys,
+    "varint_zz_roundtrip_events_value": q_varint_zz_roundtrip_events_value,
+    "delta_zz_roundtrip_events_ts": q_delta_zz_roundtrip_events_ts,
+    "for_bitpack_roundtrip_lineitem": q_for_bitpack_roundtrip_lineitem,
+    "rle_roundtrip_lineitem_flags": q_rle_roundtrip_lineitem_flags,
+    "dict_roundtrip_documents": q_dict_roundtrip_documents,
+    "fsst_roundtrip_documents_text": q_fsst_roundtrip_documents_text,
+    "varint_len_orders": q_varint_len_orders,
+    "varint_size_by_priority": q_varint_size_by_priority,
+    "zigzag_native_orders": q_zigzag_native_orders,
+    "compression_metrics_lineitem": q_compression_metrics_lineitem,
+}
+
+_VLEN_CASE = _VARINT_LEN_CASE_SQL.format(col="o_orderkey")
+_VLEN_CASE_CUST = _VARINT_LEN_CASE_SQL.format(col="o_custkey")
+
+ORACLES = {
+    "auto_roundtrip_lineitem": "SELECT * FROM lineitem",
+    "varint_roundtrip_orders_keys": "SELECT o_orderkey, o_custkey FROM orders",
+    "varint_zz_roundtrip_events_value": "SELECT event_id, value FROM events",
+    "delta_zz_roundtrip_events_ts": "SELECT event_id, ts FROM events",
+    "for_bitpack_roundtrip_lineitem": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "rle_roundtrip_lineitem_flags": "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem",
+    "dict_roundtrip_documents": "SELECT doc_id, lang, source FROM documents",
+    "fsst_roundtrip_documents_text": "SELECT doc_id, text FROM documents",
+    "varint_len_orders": f"SELECT o_orderkey, CAST({_VLEN_CASE} AS INTEGER) AS vlen FROM orders",
+    "varint_size_by_priority": (
+        "SELECT o_orderpriority, "
+        f"CAST(SUM({_VLEN_CASE_CUST}) AS BIGINT) AS varint_bytes, COUNT(*) AS n "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    "zigzag_native_orders": (
+        "SELECT o_orderkey, CAST(o_custkey - 750 AS BIGINT) AS n, "
+        "CAST(CASE WHEN o_custkey - 750 >= 0 THEN 2*(o_custkey - 750) "
+        "ELSE -2*(o_custkey - 750) - 1 END AS BIGINT) AS zz FROM orders"
+    ),
+    # compression_metrics_lineitem: engine-internal — rows-only check
+}
