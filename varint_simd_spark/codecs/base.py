@@ -1,149 +1,188 @@
-"""Unified column codec dispatch: pandas Series <-> (codec, params, payload).
+"""Unified column codec dispatch — Arrow-native.
 
-Type tags carried in the encoded-chunk rows (FIXTURES.md §4) so decode can
-rebuild the exact pandas/Spark column:
+The operators layer hands whole Arrow arrays (the batches Spark ships over
+Arrow IPC) straight to the codecs; values never materialize as Python
+objects.  Type tags carried in the encoded-chunk rows (FIXTURES.md §4):
 
-    i64      int64 (also int32/16/8 upcast — tag records the physical width)
-    f64      float64, bit-preserved via uint64 view
-    ts_us    timestamp -> epoch micros int64
-    date_d   date32 -> epoch days int64
-    str      utf-8 string (byte-identical round trip)
-    bin      binary
-    bool     boolean -> int64 0/1
+    i64/i32/i16/i8   integer widths (encoded in the int64 domain)
+    f64              float64 (float32 upcast), bit-preserved via int64 view
+    ts_us            timestamp -> epoch micros int64
+    date_d           date32 -> epoch days int64
+    str              utf-8 string (byte-identical round trip)
+    bin              binary
+    bool             boolean -> int64 0/1
 
 Null handling (engine extension; the reference has no nulls): a validity
-bitmap section is prepended when nulls exist; null slots encode as 0/b"".
+bitmap section is prepended when nulls exist; null slots encode as 0/empty.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from .container import pack_sections, unpack_sections
 from .integer import INT_CODECS
-from .strings import STR_CODECS
+from .strings import STR_CODECS, arrow_to_bo, bo_to_arrow
 
 INT_TAGS = {"i64", "i32", "i16", "i8", "ts_us", "date_d", "bool", "f64"}
 STR_TAGS = {"str", "bin"}
 
 
-def dtype_tag(s: pd.Series) -> str:
-    dt = s.dtype
-    if pd.api.types.is_datetime64_any_dtype(dt):
+def arrow_tag(t: pa.DataType) -> str:
+    if pa.types.is_timestamp(t):
         return "ts_us"
-    if dt == np.int64:
+    if pa.types.is_date(t):
+        return "date_d"
+    if t == pa.int64():
         return "i64"
-    if dt == np.int32:
+    if t == pa.int32():
         return "i32"
-    if dt == np.int16:
+    if t == pa.int16():
         return "i16"
-    if dt == np.int8:
+    if t == pa.int8():
         return "i8"
-    if dt == np.float64 or dt == np.float32:
+    if pa.types.is_floating(t):
         return "f64"
-    if dt == np.bool_:
+    if pa.types.is_boolean(t):
         return "bool"
-    if dt == object:
-        probe = next((v for v in s if v is not None), None)
-        if isinstance(probe, (bytes, bytearray)):
-            return "bin"
-        if isinstance(probe, str):
-            return "str"
-        import datetime
-
-        if isinstance(probe, datetime.date):
-            return "date_d"
-        raise TypeError(f"unsupported object column element: {type(probe)}")
-    if str(dt) == "string":
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "str"
-    raise TypeError(f"unsupported dtype {dt}")
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    raise TypeError(f"unsupported arrow type {t}")
 
 
-def to_int64(s: pd.Series, tag: str) -> np.ndarray:
-    """Lossless map of a typed column into the int64 codec domain."""
+def tag_to_arrow(tag: str) -> pa.DataType:
+    return {
+        "i64": pa.int64(),
+        "i32": pa.int32(),
+        "i16": pa.int16(),
+        "i8": pa.int8(),
+        "f64": pa.float64(),
+        "ts_us": pa.timestamp("us"),
+        "date_d": pa.date32(),
+        "str": pa.large_string(),
+        "bin": pa.large_binary(),
+        "bool": pa.bool_(),
+    }[tag]
+
+
+def arrow_to_int64(arr: pa.Array, tag: str) -> np.ndarray:
+    """Lossless map of a (null-free) typed arrow array into int64."""
     if tag == "ts_us":
-        return s.astype("datetime64[us]").astype(np.int64).to_numpy(copy=False)
+        arr = arr.cast(pa.timestamp("us")) if arr.type != pa.timestamp("us") else arr
+        return arr.view(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     if tag == "date_d":
-        return pd.to_datetime(s).to_numpy(dtype="datetime64[D]").astype(np.int64)
+        return arr.view(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
     if tag == "f64":
-        return s.to_numpy(dtype=np.float64, copy=False).view(np.int64)
+        return arr.cast(pa.float64()).to_numpy(zero_copy_only=False).view(np.int64)
     if tag == "bool":
-        return s.to_numpy(dtype=np.bool_).astype(np.int64)
-    return s.to_numpy(dtype=np.int64, copy=False)
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
-def from_int64(v: np.ndarray, tag: str) -> pd.Series:
+def int64_to_arrow(v: np.ndarray, tag: str) -> pa.Array:
     if tag == "ts_us":
-        return pd.Series(v.view(np.int64).astype("datetime64[us]"))
+        return pa.array(v.astype("datetime64[us]"), type=pa.timestamp("us"))
     if tag == "date_d":
-        return pd.Series(v.astype("datetime64[D]").astype("datetime64[us]")).dt.date
+        return pa.array(v.astype(np.int32), type=pa.int32()).view(pa.date32())
     if tag == "f64":
-        return pd.Series(v.view(np.float64))
+        return pa.array(v.view(np.float64), type=pa.float64())
     if tag == "bool":
-        return pd.Series(v.astype(np.bool_))
-    if tag == "i32":
-        return pd.Series(v.astype(np.int32))
-    if tag == "i16":
-        return pd.Series(v.astype(np.int16))
-    if tag == "i8":
-        return pd.Series(v.astype(np.int8))
-    return pd.Series(v.astype(np.int64))
+        return pa.array(v.astype(np.bool_), type=pa.bool_())
+    if tag in ("i32", "i16", "i8"):
+        return pa.array(v.astype({"i32": np.int32, "i16": np.int16, "i8": np.int8}[tag]))
+    return pa.array(v, type=pa.int64())
 
 
-def to_bytes_list(s: pd.Series, tag: str) -> list[bytes]:
-    if tag == "bin":
-        return [bytes(v) if v is not None else b"" for v in s]
-    return [v.encode("utf-8") if v is not None else b"" for v in s]
+_FILL = {"str": "", "bin": b"", "ts_us": 0, "date_d": 0, "f64": 0.0, "bool": False}
 
 
-def from_bytes_list(vals: list[bytes], tag: str) -> pd.Series:
-    if tag == "bin":
-        return pd.Series(vals, dtype=object)
-    return pd.Series([v.decode("utf-8") for v in vals], dtype=object)
-
-
-def encode_column(s: pd.Series, codec: str) -> tuple[str, bytes, dict]:
-    """Encode one pandas column with the named codec.  Returns
-    (dtype_tag, payload, params).  Nulls produce a validity section."""
-    tag = dtype_tag(s)
-    nulls = s.isna()
-    has_nulls = bool(nulls.any())
+def encode_column_arrow(arr: pa.Array, codec: str) -> tuple[str, bytes, dict]:
+    """Encode one Arrow column chunk.  Returns (dtype_tag, payload, params)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    tag = arrow_tag(arr.type)
+    has_nulls = arr.null_count > 0
     if has_nulls:
-        s = s.copy()
-        if tag in STR_TAGS:
-            s[nulls] = b"" if tag == "bin" else ""
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        fill = _FILL.get(tag, 0)
+        if tag == "ts_us":
+            arr = pc.fill_null(arr, pa.scalar(0, type=pa.int64()).cast(arr.type))
+        elif tag == "date_d":
+            arr = pc.fill_null(arr, pa.scalar(0, type=pa.int32()).cast(arr.type))
         else:
-            s[nulls] = pd.Timestamp(0) if tag == "ts_us" else 0
+            arr = pc.fill_null(arr, fill)
 
-    if tag in STR_TAGS or (tag in ("str", "bin")):
-        impl = STR_CODECS[codec]
-        payload, params = impl.encode(to_bytes_list(s, tag))
+    if tag in STR_TAGS:
+        payload, params = STR_CODECS[codec].encode_bo(arrow_to_bo(arr))
     else:
-        impl = INT_CODECS[codec]
-        payload, params = impl.encode(to_int64(s, tag))
+        payload, params = INT_CODECS[codec].encode(arrow_to_int64(arr, tag))
 
     if has_nulls:
-        bitmap = np.packbits(nulls.to_numpy(dtype=np.bool_))
+        bitmap = np.packbits(null_mask.astype(np.uint8))
         payload = pack_sections([bitmap.tobytes(), payload])
         params = dict(params, nulls="1")
     return tag, payload, params
 
 
-def decode_column(tag: str, codec: str, payload: bytes, params: dict, n: int) -> pd.Series:
-    nulls = None
+def decode_column_arrow(tag: str, codec: str, payload: bytes, params: dict, n: int) -> pa.Array:
+    null_mask = None
     if params.get("nulls") == "1":
         bitmap_b, payload = unpack_sections(payload)
-        nulls = np.unpackbits(np.frombuffer(bitmap_b, dtype=np.uint8))[:n].astype(bool)
+        null_mask = np.unpackbits(np.frombuffer(bitmap_b, dtype=np.uint8))[:n].astype(bool)
 
     if tag in STR_TAGS:
-        vals = STR_CODECS[codec].decode(payload, params, n)
-        out = from_bytes_list(vals, tag)
+        bo = STR_CODECS[codec].decode_bo(payload, params, n)
+        out = bo_to_arrow(bo, binary=(tag == "bin"))
     else:
         v = INT_CODECS[codec].decode(payload, params, n)
-        out = from_int64(v, tag)
+        out = int64_to_arrow(v, tag)
 
-    if nulls is not None:
-        out = out.astype(object) if tag in STR_TAGS or tag == "date_d" else out
-        out[np.asarray(nulls)] = None
+    if null_mask is not None:
+        out = pc.if_else(pa.array(null_mask), pa.nulls(n, type=out.type), out)
     return out
+
+
+# --------------------------------------------------------------------------
+# pandas-facing wrappers (tests / small callers)
+
+
+def dtype_tag(s: pd.Series) -> str:
+    return arrow_tag(pa.Array.from_pandas(s).type)
+
+
+def to_int64(s: pd.Series, tag: str) -> np.ndarray:
+    arr = pa.Array.from_pandas(s)
+    if arr.null_count:
+        arr = pc.fill_null(arr, 0)
+    return arrow_to_int64(arr, tag)
+
+
+def to_bytes_list(s: pd.Series, tag: str) -> list[bytes]:
+    from .strings import bo_to_list
+
+    typ = pa.large_binary() if tag == "bin" else pa.large_string()
+    arr = pa.Array.from_pandas(s, type=typ)
+    if arr.null_count:
+        arr = pc.fill_null(arr, b"" if tag == "bin" else "")
+    bo = arrow_to_bo(arr)
+    if tag == "str":
+        return bo_to_list(bo)
+    return bo_to_list(bo)
+
+
+def encode_column(s: pd.Series, codec: str) -> tuple[str, bytes, dict]:
+    arr = pa.Array.from_pandas(s)
+    return encode_column_arrow(arr, codec)
+
+
+def decode_column(tag: str, codec: str, payload: bytes, params: dict, n: int) -> pd.Series:
+    out = decode_column_arrow(tag, codec, payload, params, n)
+    s = out.to_pandas()
+    if tag == "bin":
+        s = s.map(lambda v: bytes(v) if v is not None else None)
+    return s

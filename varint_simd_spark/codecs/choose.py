@@ -1,33 +1,34 @@
 """Codec auto-selection — the engine's per-(partition, column) "optimizer".
 
 The reference makes the analogous choice manually at compile time (picking
-the integer width type parameter, README.md:57-59); here it is automatic and
-*cost-based*: for integer columns the exact encoded size of every candidate
-codec is computed analytically (cheap whole-column numpy, no trial
-encoding); for string columns sizes are estimated from sampled statistics
-(cardinality, run count, digram compressibility) per the north rule's
-"sampled cardinality/run-length/entropy statistics".
+the integer width type parameter, README.md:57-59); here it is automatic
+and *cost-based*: for integer columns the exact encoded size of every
+candidate codec is computed analytically (cheap whole-column numpy, no
+trial encoding); for string columns sizes are estimated from statistics
+(cardinality via Arrow's hash kernel, run count, digram compressibility on
+a bounded sample) per the north rule's "sampled cardinality/run-length/
+entropy statistics".
 
-Returns (codec_name, reason, stats) so the lineage table can record *why*.
+Returns (codec_name, reason, stats) so the lineage table records *why*.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..kernels import varint
 from ..kernels.zigzag import zigzag
-from .base import STR_TAGS, dtype_tag, to_int64
-
-SAMPLE = 4096
+from .base import STR_TAGS, arrow_tag, arrow_to_int64
+from .strings import _dict_encode_bo, arrow_to_bo
 
 
 def _int_candidate_sizes(v: np.ndarray) -> dict[str, int]:
     n = v.size
     sizes: dict[str, int] = {"raw64": 8 * n}
-    u = v.view(np.uint64)
-    sizes["varint"] = int(varint.varint_len(u).sum())
+    sizes["varint"] = int(varint.varint_len(v.view(np.uint64)).sum())
     sizes["varint_zz"] = int(varint.varint_len(zigzag(v)).sum())
     if n > 1:
         deltas = np.diff(v)
@@ -37,87 +38,72 @@ def _int_candidate_sizes(v: np.ndarray) -> dict[str, int]:
     bits = max(1, hi.bit_length())
     sizes["for_bitpack"] = (n * bits + 7) // 8 + 24
     change = np.flatnonzero(v[1:] != v[:-1]) if n > 1 else np.zeros(0, dtype=np.int64)
-    starts = np.concatenate([[0], change + 1]) if n else np.zeros(0, dtype=np.int64)
-    if n:
-        run_vals = v[starts]
-        run_lens = np.diff(np.concatenate([starts, [n]]))
-        sizes["rle_varint"] = (
-            int(varint.varint_len(zigzag(run_vals)).sum())
-            + int(varint.varint_len(run_lens.astype(np.uint64)).sum())
-            + 12
-        )
+    starts = np.concatenate([[0], change + 1])
+    run_vals = v[starts]
+    run_lens = np.diff(np.concatenate([starts, [n]]))
+    sizes["rle_varint"] = (
+        int(varint.varint_len(zigzag(run_vals)).sum())
+        + int(varint.varint_len(run_lens.astype(np.uint64)).sum())
+        + 12
+    )
     return sizes
-
-
-def _str_stats(vals: list[bytes]) -> dict:
-    n = len(vals)
-    arr = np.empty(n, dtype=object)
-    arr[:] = vals
-    codes, uniques = pd.factorize(arr, sort=False)
-    runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1])) if n > 1 else n
-    total = int(sum(len(v) for v in vals))
-    uniq_bytes = int(sum(len(v) for v in uniques))
-    # digram compressibility on a bounded sample
-    blob = np.frombuffer(b"".join(vals[: max(1, SAMPLE // 16)])[: 1 << 16], dtype=np.uint8)
-    digram_ratio = 1.0
-    if blob.size > 256:
-        pairs = blob[:-1].astype(np.uint32) * 256 + blob[1:]
-        _, counts = np.unique(pairs, return_counts=True)
-        top = np.sort(counts)[::-1][:180]
-        covered = int(top.sum())
-        # each covered pair occurrence saves ~1 byte (2 bytes -> 1 code);
-        # non-overlap halves realizable matches
-        digram_ratio = max(0.5, 1.0 - 0.5 * covered / max(1, blob.size))
-    return {
-        "n": n,
-        "n_distinct": len(uniques),
-        "runs": runs,
-        "total_bytes": total,
-        "uniq_bytes": uniq_bytes,
-        "digram_ratio": digram_ratio,
-    }
 
 
 def choose_int_codec(v: np.ndarray) -> tuple[str, str, dict]:
     if v.size == 0:
         return "varint", "empty", {}
     sizes = _int_candidate_sizes(v)
-    best = min(sizes, key=sizes.get)  # ties break deterministically? dict order is stable
-    stats = {f"size_{k}": v_ for k, v_ in sizes.items()}
-    return best, f"min-cost {sizes[best]}B of {sizes}", stats
+    best = min(sizes, key=sizes.get)
+    return best, f"min-cost {sizes[best]}B", {f"size_{k}": s for k, s in sizes.items()}
 
 
-def choose_str_codec(vals: list[bytes]) -> tuple[str, str, dict]:
-    n = len(vals)
+def choose_str_codec_bo(blob: np.ndarray, offs: np.ndarray) -> tuple[str, str, dict]:
+    n = len(offs) - 1
     if n == 0:
         return "raw_str", "empty", {}
-    st = _str_stats(vals)
-    avg_len = st["total_bytes"] / n
-    idx_bytes = n * max(1, (max(1, st["n_distinct"]).bit_length() + 6) // 7)
+    codes, (dblob, doffs) = _dict_encode_bo((blob, offs))
+    n_distinct = len(doffs) - 1
+    runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1])) if n > 1 else 1
+    total = int(offs[-1])
+    uniq_bytes = int(doffs[-1])
+    sample = blob[: 1 << 16]
+    digram_ratio = 1.0
+    if sample.size > 256:
+        pairs = sample[:-1].astype(np.uint32) * 256 + sample[1:]
+        _, counts = np.unique(pairs, return_counts=True)
+        covered = int(np.sort(counts)[::-1][:180].sum())
+        digram_ratio = max(0.5, 1.0 - 0.5 * covered / max(1, sample.size))
+    avg_len = total / n
+    idx_bytes = n * max(1, (max(1, n_distinct).bit_length() + 6) // 7)
     est = {
-        "raw_str": st["total_bytes"] + n,  # + ~1B/len
-        "dict_str": st["uniq_bytes"] + st["n_distinct"] + idx_bytes,
-        "rle_str": st["runs"] * (avg_len + 2) + st["runs"],
-        "fsst": st["total_bytes"] * st["digram_ratio"] + n + 512,
+        "raw_str": total + n,
+        "dict_str": uniq_bytes + n_distinct + idx_bytes,
+        "rle_str": runs * (avg_len + 2) + runs,
+        "fsst": total * digram_ratio + n + 512,
     }
-    # dict/rle only help when cardinality / run structure exists
-    if st["n_distinct"] > 0.5 * n:
+    if n_distinct > 0.5 * n:
         est.pop("dict_str", None)
-    if st["runs"] > 0.5 * n:
+    if runs > 0.5 * n:
         est.pop("rle_str", None)
     best = min(est, key=est.get)
-    stats = {f"est_{k}": int(v) for k, v in est.items()}
-    stats.update({k: (float(v) if isinstance(v, float) else int(v)) for k, v in st.items()})
-    return best, f"est {int(est[best])}B of {({k: int(v) for k, v in est.items()})}", stats
+    stats = {f"est_{k}": int(s) for k, s in est.items()}
+    stats.update({"n": n, "n_distinct": n_distinct, "runs": runs, "total_bytes": total})
+    return best, f"est {int(est[best])}B", stats
+
+
+def choose_codec_arrow(arr: pa.Array) -> tuple[str, str, dict]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    tag = arrow_tag(arr.type)
+    if arr.null_count:
+        arr = pc.fill_null(arr, "" if tag == "str" else b"" if tag == "bin" else 0) \
+            if tag in STR_TAGS else pc.fill_null(arr, pa.scalar(0).cast(arr.type))
+    if tag in STR_TAGS:
+        blob, offs = arrow_to_bo(arr)
+        return choose_str_codec_bo(blob, offs)
+    return choose_int_codec(arrow_to_int64(arr, tag))
 
 
 def choose_codec(s: pd.Series) -> tuple[str, str, dict]:
-    """Auto-select a codec for one pandas column (chunk-local)."""
-    tag = dtype_tag(s)
-    if tag in STR_TAGS:
-        from .base import to_bytes_list
-
-        vals = to_bytes_list(s.fillna("" if tag == "str" else b""), tag)
-        return choose_str_codec(vals)
-    sn = s.fillna(0) if s.isna().any() else s
-    return choose_int_codec(to_int64(sn, tag))
+    """pandas-facing wrapper (tests / small callers)."""
+    return choose_codec_arrow(pa.Array.from_pandas(s))

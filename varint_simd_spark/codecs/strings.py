@@ -1,38 +1,102 @@
-"""String/binary-column codecs.
+"""String/binary-column codecs — zero-copy Arrow-buffer representation.
 
-Input/output unit: a list/np.object_ array of ``bytes`` (the operators layer
-converts str<->bytes at the utf-8 boundary so that round-trips are
-*byte-identical*, the north-rule invariant).
+Internal unit: ``(blob, offs)`` — the Arrow large-string layout itself
+(``blob``: np.uint8 of all bytes concatenated; ``offs``: np.int64 of n+1
+offsets).  Values never materialize as Python objects: codecs read the
+buffers Spark already ships across the JVM boundary (Arrow IPC), so the
+whole string path is per-row-Python-free (input_hint requirement).
 
 All payload framing uses the reference varint wire format (offset/length
-streams are "offset columns" per the north rule).  Dict / RLE / FSST are
-engine extensions absent from the reference (SURVEY.md §2.1 provenance note).
+streams are the north rule's "offset columns").  Dict / RLE / FSST are
+engine extensions absent from the reference (SURVEY.md §2.1 provenance).
+
+A thin list[bytes] adapter (encode/decode) remains for kernel-level tests.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..kernels import varint
 from .container import pack_sections, unpack_sections
 
 _ESCAPE = 255  # FSST escape code (code 255 = next byte is a literal)
 
-
-def _concat_with_lens(values: list[bytes]) -> tuple[bytes, bytes]:
-    """-> (varint length stream, concatenated bytes)."""
-    lens = np.fromiter((len(v) for v in values), dtype=np.uint64, count=len(values))
-    lens_pay, _ = varint.encode(lens)
-    return lens_pay, b"".join(values)
+BO = tuple[np.ndarray, np.ndarray]  # (blob uint8, offs int64[n+1])
 
 
-def _split_by_lens(lens_pay: bytes, blob: bytes, n: int) -> list[bytes]:
-    if n == 0:
-        return []
-    lens = varint.decode(lens_pay, count=n, width=64).astype(np.int64)
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    return [blob[offs[i] : offs[i + 1]] for i in range(n)]
+# --------------------------------------------------------------------------
+# (blob, offs) <-> pyarrow / list[bytes] conversion helpers
+
+
+def arrow_to_bo(arr: pa.Array) -> BO:
+    """Zero-copy view of a large_string/large_binary array's buffers."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_binary() if pa.types.is_binary(arr.type) else pa.large_string())
+    bufs = arr.buffers()
+    n = len(arr)
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    blob = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]] if bufs[2] is not None else np.zeros(0, np.uint8)
+    if offs[0] != 0:
+        offs = offs - offs[0]
+    return blob, offs.astype(np.int64, copy=False)
+
+
+def bo_to_arrow(bo: BO, binary: bool = False) -> pa.Array:
+    blob, offs = bo
+    n = len(offs) - 1
+    typ = pa.large_binary() if binary else pa.large_string()
+    return pa.Array.from_buffers(
+        typ,
+        n,
+        [
+            None,
+            pa.py_buffer(np.ascontiguousarray(offs).tobytes()),
+            pa.py_buffer(np.ascontiguousarray(blob).tobytes()),
+        ],
+    )
+
+
+def list_to_bo(values: list[bytes]) -> BO:
+    lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=len(values))
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    blob = np.frombuffer(b"".join(values), dtype=np.uint8)
+    return blob, offs
+
+
+def bo_to_list(bo: BO) -> list[bytes]:
+    blob, offs = bo
+    b = blob.tobytes()
+    return [b[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+
+
+def _gather_values(blob: np.ndarray, offs: np.ndarray, idx: np.ndarray) -> BO:
+    """Vectorized take: output = values[idx] as a fresh (blob, offs)."""
+    lens = np.diff(offs)
+    out_lens = lens[idx]
+    out_offs = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
+    total = int(out_offs[-1])
+    if total == 0:
+        return np.zeros(0, np.uint8), out_offs
+    src_start = np.repeat(offs[idx], out_lens)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], out_lens)
+    return blob[src_start + pos], out_offs
+
+
+def _dict_encode_bo(bo: BO) -> tuple[np.ndarray, BO]:
+    """-> (codes int64[n], dictionary as BO) via Arrow's C++ hash kernel."""
+    arr = bo_to_arrow(bo, binary=True)
+    d = pc.dictionary_encode(arr)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_bo = arrow_to_bo(d.dictionary)
+    return codes, dict_bo
+
+
+# --------------------------------------------------------------------------
 
 
 class RawStr:
@@ -40,36 +104,43 @@ class RawStr:
 
     name = "raw_str"
 
-    def encode(self, values: list[bytes]) -> tuple[bytes, dict]:
-        lens_pay, blob = _concat_with_lens(values)
-        return pack_sections([lens_pay, blob]), {}
+    def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
+        blob, offs = bo
+        lens_pay, _ = varint.encode(np.diff(offs).astype(np.uint64))
+        return pack_sections([lens_pay, blob.tobytes()]), {}
 
-    def decode(self, payload: bytes, params: dict, n: int) -> list[bytes]:
+    def decode_bo(self, payload: bytes, params: dict, n: int) -> BO:
         lens_pay, blob = unpack_sections(payload)
-        return _split_by_lens(lens_pay, blob, n)
+        lens = varint.decode(lens_pay, count=n, width=64).astype(np.int64) if n else np.zeros(0, np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        return np.frombuffer(blob, dtype=np.uint8), offs
 
 
 class DictStr:
     """Dictionary encoding: unique values + varint index stream.
-
-    Per-chunk local dictionary (no global shuffle — SURVEY.md §2.1 note)."""
+    Per-chunk local dictionary (no global shuffle — SURVEY.md §2.1)."""
 
     name = "dict_str"
 
-    def encode(self, values: list[bytes]) -> tuple[bytes, dict]:
-        codes, uniques = pd.factorize(np.asarray(values, dtype=object), sort=False)
-        lens_pay, blob = _concat_with_lens(list(uniques))
+    def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
+        codes, (dblob, doffs) = _dict_encode_bo(bo)
+        dlens_pay, _ = varint.encode(np.diff(doffs).astype(np.uint64))
         idx_pay, _ = varint.encode(codes.astype(np.uint64))
-        return pack_sections([lens_pay, blob, idx_pay]), {"dict_n": str(len(uniques))}
+        return (
+            pack_sections([dlens_pay, dblob.tobytes(), idx_pay]),
+            {"dict_n": str(len(doffs) - 1)},
+        )
 
-    def decode(self, payload: bytes, params: dict, n: int) -> list[bytes]:
+    def decode_bo(self, payload: bytes, params: dict, n: int) -> BO:
         dn = int(params["dict_n"])
-        lens_pay, blob, idx_pay = unpack_sections(payload)
-        uniques = np.array(_split_by_lens(lens_pay, blob, dn), dtype=object)
+        dlens_pay, dblob_b, idx_pay = unpack_sections(payload)
+        dlens = varint.decode(dlens_pay, count=dn, width=64).astype(np.int64) if dn else np.zeros(0, np.int64)
+        doffs = np.concatenate([[0], np.cumsum(dlens)]).astype(np.int64)
+        dblob = np.frombuffer(dblob_b, dtype=np.uint8)
         if n == 0:
-            return []
+            return np.zeros(0, np.uint8), np.zeros(1, np.int64)
         codes = varint.decode(idx_pay, count=n, width=64).astype(np.int64)
-        return list(uniques[codes])
+        return _gather_values(dblob, doffs, codes)
 
 
 class RleStr:
@@ -78,58 +149,54 @@ class RleStr:
 
     name = "rle_str"
 
-    def encode(self, values: list[bytes]) -> tuple[bytes, dict]:
-        n = len(values)
+    def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
+        blob, offs = bo
+        n = len(offs) - 1
         if n == 0:
             return pack_sections([b"", b"", b""]), {"runs": "0"}
-        arr = np.empty(n, dtype=object)
-        arr[:] = values
-        codes, _ = pd.factorize(arr, sort=False)  # C-speed equality detection
+        codes, (dblob, doffs) = _dict_encode_bo(bo)
         starts = np.concatenate([[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1])
-        run_vals = [arr[s] for s in starts]
         run_lens = np.diff(np.concatenate([starts, [n]])).astype(np.uint64)
-        lens_pay, blob = _concat_with_lens(run_vals)
+        rblob, roffs = _gather_values(blob, offs, starts)
+        rlens_pay, _ = varint.encode(np.diff(roffs).astype(np.uint64))
         rl_pay, _ = varint.encode(run_lens)
-        return pack_sections([lens_pay, blob, rl_pay]), {"runs": str(len(run_vals))}
+        return (
+            pack_sections([rlens_pay, rblob.tobytes(), rl_pay]),
+            {"runs": str(len(starts))},
+        )
 
-    def decode(self, payload: bytes, params: dict, n: int) -> list[bytes]:
+    def decode_bo(self, payload: bytes, params: dict, n: int) -> BO:
         runs = int(params["runs"])
         if runs == 0:
-            return []
-        lens_pay, blob, rl_pay = unpack_sections(payload)
-        run_vals = np.array(_split_by_lens(lens_pay, blob, runs), dtype=object)
+            return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+        rlens_pay, rblob_b, rl_pay = unpack_sections(payload)
+        rlens = varint.decode(rlens_pay, count=runs, width=64).astype(np.int64)
+        roffs = np.concatenate([[0], np.cumsum(rlens)]).astype(np.int64)
+        rblob = np.frombuffer(rblob_b, dtype=np.uint8)
         run_lens = varint.decode(rl_pay, count=runs, width=64).astype(np.int64)
-        return list(np.repeat(run_vals, run_lens))
+        idx = np.repeat(np.arange(runs, dtype=np.int64), run_lens)
+        return _gather_values(rblob, roffs, idx)
 
 
 class FsstStr:
     """FSST-style per-chunk symbol-table compression (Boncz/Neumann/Leis,
-    VLDB 2020 "FSST: Fast Random Access String Compression"), simplified:
-
-    * symbol table of up to 255 symbols: the most frequent byte *pairs*
-      (2-byte symbols) plus identity 1-byte symbols for all frequent bytes;
-    * code 255 = escape, next byte is a literal (rare-byte fallback);
-    * greedy left-to-right longest-match, vectorized: pair-match positions
-      are found on the whole concatenated chunk at once and non-overlapping
-      matches selected by even-offset-within-run (no per-byte Python).
-
-    Values are compressed as one concatenated blob + varint *compressed*
-    length stream, so random access per value survives.
-    """
+    VLDB 2020), simplified: up to 180 2-byte symbols + 1-byte identity
+    symbols + escape code 255; greedy non-overlapping digram matching
+    vectorized over the whole chunk blob (even-offset-within-run trick).
+    Compressed per-value lengths keep random access."""
 
     name = "fsst"
 
-    MAX_PAIRS = 180  # leave room for 1-byte symbols; total codes <= 255
+    MAX_PAIRS = 180
 
     def _train(self, blob: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """-> (pair_symbols uint16 array, single_bytes uint8 array)."""
         sample = blob[: 1 << 16]
         present = np.unique(sample)
         if sample.size >= 2:
             pairs = sample[:-1].astype(np.uint16) << np.uint16(8)
             pairs |= sample[1:]
             uniq, counts = np.unique(pairs, return_counts=True)
-            good = counts >= 4  # a pair must save at least a few bytes
+            good = counts >= 4
             uniq, counts = uniq[good], counts[good]
             top = uniq[np.argsort(counts)[::-1][: self.MAX_PAIRS]]
         else:
@@ -138,48 +205,23 @@ class FsstStr:
         singles = present[:n_singles]
         return top.astype(np.uint16), singles.astype(np.uint8)
 
-    def encode(self, values: list[bytes]) -> tuple[bytes, dict]:
-        n = len(values)
-        raw_lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=n)
-        blob = np.frombuffer(b"".join(values), dtype=np.uint8)
+    def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
+        blob, offs = bo
         pair_syms, single_syms = self._train(blob)
-
-        # code assignment: pair symbols get codes [0, P); singles [P, P+S)
         P, S = len(pair_syms), len(single_syms)
         pair_code = np.full(65536, -1, dtype=np.int16)
         pair_code[pair_syms] = np.arange(P, dtype=np.int16)
         single_code = np.full(256, -1, dtype=np.int16)
         single_code[single_syms] = np.arange(P, P + S, dtype=np.int16)
 
-        out = self._compress(blob, pair_code, single_code)
-
-        # re-derive per-value compressed lengths by compressing per-boundary:
-        # match positions never straddle value boundaries if we compress each
-        # value's slice independently — instead we compress the whole blob but
-        # must prevent cross-value pair matches.  Simplest correct approach:
-        # compress per value-slice in a vectorized loop over *boundaries*:
-        # done inside _compress via a boundary mask.
-        offs = np.concatenate([[0], np.cumsum(raw_lens)])
         out, comp_lens = self._compress_with_boundaries(blob, offs, pair_code, single_code)
-
-        table_pairs = pair_syms.astype(">u2").tobytes()
-        table_singles = single_syms.tobytes()
         clens_pay, _ = varint.encode(comp_lens.astype(np.uint64))
         return (
-            pack_sections([table_pairs, table_singles, clens_pay, out.tobytes()]),
+            pack_sections([pair_syms.astype(">u2").tobytes(), single_syms.tobytes(), clens_pay, out.tobytes()]),
             {"pairs": str(P), "singles": str(S)},
         )
 
-    def _compress_with_boundaries(
-        self,
-        blob: np.ndarray,
-        offs: np.ndarray,
-        pair_code: np.ndarray,
-        single_code: np.ndarray,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Greedy digram compression of the whole blob at once, with pair
-        matches suppressed across value boundaries.  Returns (codes, per-value
-        compressed lengths)."""
+    def _compress_with_boundaries(self, blob, offs, pair_code, single_code):
         nb = blob.size
         n_vals = offs.size - 1
         if nb == 0:
@@ -187,18 +229,14 @@ class FsstStr:
 
         pairs = blob[:-1].astype(np.uint16) << np.uint16(8)
         pairs |= blob[1:]
-        m = pair_code[pairs] >= 0  # candidate pair-match start positions
-        # suppress matches whose second byte is in the next value
+        m = pair_code[pairs] >= 0
+        # suppress pair matches straddling a value boundary
         last_byte_of_value = np.zeros(nb, dtype=bool)
-        nonempty_ends = offs[1:][offs[1:] > 0] - 1  # guard empty values (offs repeat)
+        nonempty_ends = offs[1:][offs[1:] > 0] - 1
         last_byte_of_value[nonempty_ends] = True
         m &= ~last_byte_of_value[:-1]
 
-        # greedy non-overlapping: within each maximal run of consecutive
-        # candidates, keep even offsets — but runs must also restart at value
-        # boundaries (a pair consumed at the end of value k cannot shift the
-        # phase of value k+1; boundary suppression above already breaks runs
-        # because the boundary position itself is not a candidate).
+        # greedy non-overlap: even offsets within each run of candidates
         m_ext = np.concatenate([[False], m])
         run_start = m & ~m_ext[:-1]
         run_id = np.cumsum(run_start)
@@ -213,8 +251,6 @@ class FsstStr:
         consumed_second = np.zeros(nb, dtype=bool)
         consumed_second[sel_pos + 1] = True
 
-        # classify each byte: start of selected pair -> pair code;
-        # consumed second byte -> skip; else single code or escape+literal
         is_pair_start = np.zeros(nb, dtype=bool)
         is_pair_start[sel_pos] = True
         remain = ~is_pair_start & ~consumed_second
@@ -222,14 +258,12 @@ class FsstStr:
         esc = remain & (sc < 0)
         single = remain & (sc >= 0)
 
-        # output cost per input byte position
         cost = np.zeros(nb, dtype=np.int64)
         cost[is_pair_start] = 1
         cost[single] = 1
         cost[esc] = 2
         out_offs = np.concatenate([[0], np.cumsum(cost)])
-        total = int(out_offs[-1])
-        out = np.empty(total, dtype=np.uint8)
+        out = np.empty(int(out_offs[-1]), dtype=np.uint8)
         out[out_offs[sel_pos]] = pair_code[pairs[sel_pos]].astype(np.uint8)
         single_idx = np.flatnonzero(single)
         out[out_offs[single_idx]] = sc[single_idx].astype(np.uint8)
@@ -241,24 +275,16 @@ class FsstStr:
         comp_lens = out_offs[offs[1:]] - out_offs[offs[:-1]]
         return out, comp_lens.astype(np.int64)
 
-    # kept for API symmetry / direct use in training experiments
-    def _compress(self, blob, pair_code, single_code):
-        offs = np.array([0, blob.size], dtype=np.int64)
-        out, _ = self._compress_with_boundaries(blob, offs, pair_code, single_code)
-        return out
-
-    def decode(self, payload: bytes, params: dict, n: int) -> list[bytes]:
+    def decode_bo(self, payload: bytes, params: dict, n: int) -> BO:
         P, S = int(params["pairs"]), int(params["singles"])
-        table_pairs, table_singles, clens_pay, blob = unpack_sections(payload)
+        table_pairs, table_singles, clens_pay, blob_b = unpack_sections(payload)
         if n == 0:
-            return []
+            return np.zeros(0, np.uint8), np.zeros(1, np.int64)
         pair_syms = np.frombuffer(table_pairs, dtype=">u2").astype(np.uint16)
         single_syms = np.frombuffer(table_singles, dtype=np.uint8)
         comp_lens = varint.decode(clens_pay, count=n, width=64).astype(np.int64)
-        codes = np.frombuffer(blob, dtype=np.uint8)
+        codes = np.frombuffer(blob_b, dtype=np.uint8)
 
-        # per-code expansion: pair codes -> 2 bytes, single codes -> 1 byte,
-        # escape -> swallow next byte as literal
         sym_first = np.empty(256, dtype=np.uint8)
         sym_second = np.zeros(256, dtype=np.uint8)
         sym_len = np.ones(256, dtype=np.int64)
@@ -270,14 +296,9 @@ class FsstStr:
         nb = codes.size
         is_code = np.ones(nb, dtype=bool)
         esc_mask = codes == _ESCAPE
-        # a byte following an escape is a literal, not a code; escapes cannot
-        # chain ambiguously because literals are data — resolve sequentially
-        # over escape positions only (rare), vectorized via parity trick:
         esc_pos = np.flatnonzero(esc_mask)
         if esc_pos.size:
-            # escape bytes whose predecessor is a literal-of-escape are data;
-            # walk runs of consecutive escape bytes: within a run starting at
-            # a true escape, alternating bytes are escapes
+            # runs of consecutive 0xFF bytes: alternating escape/literal
             run_start = esc_mask & ~np.concatenate([[False], esc_mask[:-1]])
             rid = np.cumsum(run_start)
             first_of = np.zeros(rid.max() + 1, dtype=np.int64)
@@ -286,21 +307,16 @@ class FsstStr:
             par = (np.arange(nb) - first_of[rid]) & 1
             true_esc = esc_mask & (par == 0)
             literal = np.zeros(nb, dtype=bool)
-            tp = np.flatnonzero(true_esc)
-            tp_next = tp + 1
-            tp_next = tp_next[tp_next < nb]
-            literal[tp_next] = True
+            tp = np.flatnonzero(true_esc) + 1
+            literal[tp[tp < nb]] = True
             is_code = ~literal
             esc_mask = true_esc
         out_len_per = np.where(esc_mask, 1, sym_len[codes])
-        out_len_per[~is_code] = 0  # literals emitted by their escape
+        out_len_per[~is_code] = 0
 
-        # build output: for each code position, write 1-2 bytes
         out_offs = np.concatenate([[0], np.cumsum(out_len_per)])
-        total = int(out_offs[-1])
-        out = np.empty(total, dtype=np.uint8)
-        code_pos = is_code & ~esc_mask
-        cp = np.flatnonzero(code_pos)
+        out = np.empty(int(out_offs[-1]), dtype=np.uint8)
+        cp = np.flatnonzero(is_code & ~esc_mask)
         out[out_offs[cp]] = sym_first[codes[cp]]
         two = cp[sym_len[codes[cp]] == 2]
         out[out_offs[two] + 1] = sym_second[codes[two]]
@@ -309,9 +325,14 @@ class FsstStr:
         out[out_offs[ep_valid]] = codes[ep_valid + 1]
 
         comp_offs = np.concatenate([[0], np.cumsum(comp_lens)])
-        raw_offs = out_offs[comp_offs]
-        blob_bytes = out.tobytes()
-        return [blob_bytes[raw_offs[i] : raw_offs[i + 1]] for i in range(n)]
+        raw_offs = out_offs[comp_offs].astype(np.int64)
+        return out, raw_offs
+
+
+# list[bytes] adapter so kernel-level tests and small callers stay simple
+for _cls in (RawStr, DictStr, RleStr, FsstStr):
+    _cls.encode = lambda self, values: self.encode_bo(list_to_bo(values))
+    _cls.decode = lambda self, payload, params, n: bo_to_list(self.decode_bo(payload, params, n))
 
 
 STR_CODECS = {c.name: c for c in [RawStr(), DictStr(), RleStr(), FsstStr()]}

@@ -1,20 +1,21 @@
 """encode_table / decode_table — the engine's main Spark operators.
 
-Lifecycle (SURVEY.md §3.4): scan -> bucket (one shuffle, url-hash) ->
-``applyInPandas`` per bucket -> one encoded row per (chunk, column).
-Everything inside the UDF is whole-column numpy (codecs/), Arrow-batched —
-no per-row Python (input_hint requirement).
+Lifecycle (SURVEY.md §3.4): scan -> bucket (ONE shuffle, url-hash) ->
+``applyInArrow`` per bucket -> one encoded row per (chunk, column).
+Arrow end to end: Spark ships record batches over Arrow IPC, the codec
+layer reads the Arrow buffers directly (zero-copy for string columns), and
+every kernel is whole-column numpy — no per-row Python anywhere
+(input_hint requirement).
 
 Scale notes (designed for ~100 TB / 1000 executors, tested on local[32]):
 * chunk membership is ``pmod(xxhash64(key), n_chunks)`` — deterministic in
   data only, so resume/verify work identically at any parallelism;
 * the groupBy shuffle is the ONLY shuffle in the encode path; AQE coalesces
   small post-shuffle partitions and splits skewed ones;
-* ``n_chunks`` should be sized so a chunk's pandas materialization fits an
-  executor core's memory (target ~32-64 MB of raw column data per chunk);
-  helpers below compute it from a row-size estimate;
-* decode is shuffle-free: each encoded row group (chunk) is already one
-  task's worth of work.
+* size ``n_chunks`` so a chunk's Arrow materialization fits an executor
+  core's memory (target ~32-64 MB of raw column data per chunk);
+* decode is a single groupBy on chunk_id — at scale the encoded table is
+  written bucketed by chunk_id, making this a shuffle-free local sort.
 """
 
 from __future__ import annotations
@@ -22,13 +23,22 @@ from __future__ import annotations
 import json
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..codecs import choose_codec, decode_column, dtype_tag, encode_column
-from ..codecs.base import STR_TAGS, to_bytes_list, to_int64
+from ..codecs.base import (
+    STR_TAGS,
+    arrow_tag,
+    arrow_to_int64,
+    decode_column_arrow,
+    encode_column_arrow,
+    tag_to_arrow,
+)
+from ..codecs.choose import choose_codec_arrow
+from ..codecs.strings import arrow_to_bo
 from ..kernels import varint
 from ..kernels.zigzag import zigzag
 
@@ -49,6 +59,23 @@ ENCODED_SCHEMA = T.StructType(
     ]
 )
 
+_ENC_ARROW = pa.schema(
+    [
+        ("chunk_id", pa.int64()),
+        ("col_idx", pa.int32()),
+        ("column", pa.string()),
+        ("dtype", pa.string()),
+        ("codec", pa.string()),
+        ("params", pa.string()),
+        ("payload", pa.binary()),
+        ("n_values", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("ref_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("reason", pa.string()),
+    ]
+)
+
 _TAG_TO_SPARK = {
     "i64": T.LongType(),
     "i32": T.IntegerType(),
@@ -63,60 +90,54 @@ _TAG_TO_SPARK = {
 }
 
 
-def _reference_bytes(s: pd.Series, tag: str) -> int:
-    """Size the reference encoder would produce for this column: minimal
-    LEB128 of zigzag(v) for integer domains (encode_zigzag,
-    reference src/encode/mod.rs:40-42), raw utf-8 + varint lengths for
-    strings (the reference has no string codec; framing is ours)."""
+def _ref_and_raw_bytes(arr: pa.Array, tag: str) -> tuple[int, int]:
+    """(reference encoder size, raw size).  Reference = minimal LEB128 of
+    zigzag(v) for integer domains (reference encode_zigzag,
+    src/encode/mod.rs:40-42); raw utf-8 + varint length stream for strings
+    (the reference has no string codec; framing is ours)."""
     if tag in STR_TAGS:
-        vals = to_bytes_list(s.fillna("" if tag == "str" else b""), tag)
-        lens = np.fromiter((len(v) for v in vals), dtype=np.uint64, count=len(vals))
-        return int(lens.sum() + varint.varint_len(lens).sum())
-    sn = s.fillna(0) if s.isna().any() else s
-    v = to_int64(sn, tag)
-    return int(varint.varint_len(zigzag(v)).sum())
-
-
-def _raw_bytes(s: pd.Series, tag: str) -> int:
-    if tag in STR_TAGS:
-        vals = to_bytes_list(s.fillna("" if tag == "str" else b""), tag)
-        return int(sum(len(v) for v in vals))
-    return 8 * len(s)
+        if arr.null_count:
+            arr = pc.fill_null(arr, "" if tag == "str" else b"")
+        blob, offs = arrow_to_bo(arr)
+        lens = np.diff(offs).astype(np.uint64)
+        ref = int(offs[-1]) + int(varint.varint_len(lens).sum())
+        return ref, int(offs[-1])
+    if arr.null_count:
+        arr = pc.fill_null(arr, pa.scalar(0).cast(arr.type))
+    v = arrow_to_int64(arr, tag)
+    return int(varint.varint_len(zigzag(v)).sum()), 8 * len(arr)
 
 
 def make_encode_chunk_fn(columns: list[str], codecs: dict[str, str], sort_key: str | None):
-    """Build the applyInPandas chunk encoder (closure shipped to executors)."""
+    """Build the applyInArrow chunk encoder (closure shipped to executors)."""
 
-    def encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        chunk_id = int(pdf["__chunk"].iloc[0])
+    def encode_chunk(table: pa.Table) -> pa.Table:
+        chunk_id = int(table["__chunk"][0].as_py())
         if sort_key is not None:
-            pdf = pdf.sort_values(sort_key, kind="stable", ignore_index=True)
-        rows = []
+            table = table.take(pc.sort_indices(table[sort_key]))
+        cols: dict[str, list] = {k.name: [] for k in _ENC_ARROW}
         for idx, col in enumerate(columns):
-            s = pdf[col]
+            arr = table[col].combine_chunks()
             want = codecs.get(col, "auto")
             if want == "auto":
-                codec, reason, _stats = choose_codec(s)
+                codec, reason, _stats = choose_codec_arrow(arr)
             else:
                 codec, reason = want, "forced"
-            tag, payload, params = encode_column(s, codec)
-            rows.append(
-                {
-                    "chunk_id": chunk_id,
-                    "col_idx": idx,
-                    "column": col,
-                    "dtype": tag,
-                    "codec": codec,
-                    "params": json.dumps(params),
-                    "payload": payload,
-                    "n_values": len(s),
-                    "raw_bytes": _raw_bytes(s, tag),
-                    "ref_bytes": _reference_bytes(s, tag),
-                    "enc_bytes": len(payload),
-                    "reason": reason,
-                }
-            )
-        return pd.DataFrame(rows)
+            tag, payload, params = encode_column_arrow(arr, codec)
+            ref_b, raw_b = _ref_and_raw_bytes(arr, tag)
+            cols["chunk_id"].append(chunk_id)
+            cols["col_idx"].append(idx)
+            cols["column"].append(col)
+            cols["dtype"].append(tag)
+            cols["codec"].append(codec)
+            cols["params"].append(json.dumps(params))
+            cols["payload"].append(payload)
+            cols["n_values"].append(len(arr))
+            cols["raw_bytes"].append(raw_b)
+            cols["ref_bytes"].append(ref_b)
+            cols["enc_bytes"].append(len(payload))
+            cols["reason"].append(reason)
+        return pa.table(cols, schema=_ENC_ARROW)
 
     return encode_chunk
 
@@ -139,21 +160,22 @@ def encode_table(
     """
     columns = columns or df.columns
     codecs = codecs or {}
+    unknown = set(codecs) - set(columns)
+    if unknown:
+        raise ValueError(f"codecs for unknown columns: {sorted(unknown)}")
     chunk = F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)).alias("__chunk")
     fn = make_encode_chunk_fn(columns, codecs, key if sort_within_chunk else None)
     return (
         df.select(*columns, chunk)
         .groupBy("__chunk")
-        .applyInPandas(fn, schema=ENCODED_SCHEMA)
+        .applyInArrow(fn, schema=ENCODED_SCHEMA)
     )
 
 
 def decode_table(enc: DataFrame) -> DataFrame:
     """Inverse of :func:`encode_table`: encoded chunks -> original rows.
 
-    Self-describing (schema from the dtype tags); shuffle only on chunk_id
-    (already the storage partitioning, so at scale this is a local groupBy
-    after a bucketed read)."""
+    Self-describing (schema from the dtype tags); one groupBy on chunk_id."""
     meta = (
         enc.select("col_idx", "column", "dtype").distinct().orderBy("col_idx").collect()
     )
@@ -163,17 +185,40 @@ def decode_table(enc: DataFrame) -> DataFrame:
         [T.StructField("__chunk", T.LongType())]
         + [T.StructField(r["column"], _TAG_TO_SPARK[r["dtype"]]) for r in meta]
     )
+    # Spark-facing arrow types: 32-bit-offset string/binary, UTC timestamps
+    def spark_arrow_type(tag: str) -> pa.DataType:
+        if tag == "str":
+            return pa.string()
+        if tag == "bin":
+            return pa.binary()
+        if tag == "ts_us":
+            return pa.timestamp("us", tz="UTC")
+        return tag_to_arrow(tag)
 
-    def decode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = int(pdf["n_values"].iloc[0])
-        out = {"__chunk": np.full(n, int(pdf["chunk_id"].iloc[0]), dtype=np.int64)}
-        by_col = {r.column: r for r in pdf.itertuples()}
+    arrow_out = pa.schema(
+        [("__chunk", pa.int64())]
+        + [(c, spark_arrow_type(tags[c])) for c in columns]
+    )
+
+    def decode_chunk(table: pa.Table) -> pa.Table:
+        n = int(table["n_values"][0].as_py())
+        chunk_id = int(table["chunk_id"][0].as_py())
+        by_col = {}
+        params_col = table["params"].to_pylist()
+        codec_col = table["codec"].to_pylist()
+        col_col = table["column"].to_pylist()
+        payload_col = table["payload"].to_pylist()
+        for i, name in enumerate(col_col):
+            by_col[name] = (codec_col[i], payload_col[i], json.loads(params_col[i]))
+        out = {"__chunk": pa.array(np.full(n, chunk_id, dtype=np.int64))}
         for col in columns:
-            r = by_col[col]
-            out[col] = decode_column(tags[col], r.codec, bytes(r.payload), json.loads(r.params), n)
-        return pd.DataFrame(out)
+            codec, payload, params = by_col[col]
+            out[col] = decode_column_arrow(tags[col], codec, payload, params, n).cast(
+                arrow_out.field(col).type
+            )
+        return pa.table(out, schema=arrow_out)
 
-    return enc.groupBy("chunk_id").applyInPandas(decode_chunk, schema=out_schema)
+    return enc.groupBy("chunk_id").applyInArrow(decode_chunk, schema=out_schema)
 
 
 def chunk_metrics(enc: DataFrame) -> DataFrame:
