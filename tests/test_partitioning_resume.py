@@ -1,0 +1,96 @@
+"""M4/M5 tests: hot-host salting bounds chunk skew; checkpointed encode
+resumes idempotently from the last committed chunk set."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from varint_simd_spark.operators import decode_table
+from varint_simd_spark.plans.partitioning import (
+    encode_table_salted,
+    plan_salts,
+    salted_chunk_column,
+    skew_report,
+)
+from varint_simd_spark.sources.checkpoint import EncodedStore, encode_resumable
+from varint_simd_spark.sources.web_pages import generate_web_pages
+
+
+@pytest.fixture(scope="module")
+def web_pages(spark):
+    df = generate_web_pages(spark, 4000, seed=42)
+    df.cache().count()
+    return df
+
+
+def test_salt_plan_detects_hot_hosts(web_pages):
+    plan = plan_salts(web_pages, target_rows_per_chunk=200).toPandas()
+    top = skew_report(web_pages).toPandas()
+    assert len(plan) >= 1  # zipf skew => at least the hottest host flagged
+    assert top["count"].iloc[0] > 200
+    hot = set(plan["__host"])
+    assert top["host"].iloc[0] in hot
+    # salts sized ~ rows/target
+    for _, r in plan.iterrows():
+        assert r["__n_salts"] == -(-r["__host_rows"] // 200)
+
+
+def test_salted_chunks_bounded(web_pages):
+    n_chunks = 16
+    df2 = salted_chunk_column(web_pages, n_chunks, target_rows_per_chunk=200)
+    sizes = df2.groupBy("__chunk").count().toPandas()["count"]
+    # without salting the hottest host (~1400 rows) would be one chunk;
+    # with salting no chunk should be much above target + cold-host noise
+    assert sizes.max() < 1000, sizes.describe()
+
+
+def test_salted_roundtrip(web_pages, spark):
+    enc = encode_table_salted(web_pages, n_chunks=16, target_rows_per_chunk=200)
+    out = decode_table(enc).drop("__chunk").toPandas().sort_values("url", ignore_index=True)
+    src = web_pages.toPandas().sort_values("url", ignore_index=True)
+    assert (out["text"] == src["text"]).all()
+    assert (out["url"] == src["url"]).all()
+
+
+def test_resume_idempotent(web_pages, spark, tmp_path):
+    store = EncodedStore(spark, str(tmp_path / "store"))
+
+    snap1, n1 = encode_resumable(store, web_pages, key="url", n_chunks=8)
+    assert snap1 is not None and n1 == 8
+
+    # second run: everything committed -> no-op
+    snap2, n2 = encode_resumable(store, web_pages, key="url", n_chunks=8)
+    assert snap2 is None and n2 == 0
+
+    # drop 3 chunks from the manifest (simulate partial failure) -> resume
+    # re-encodes exactly those
+    m = spark.read.parquet(store.manifest_path)
+    kept = m.filter(~F.col("chunk_id").isin([1, 3, 5]))
+    kept.write.mode("overwrite").parquet(str(tmp_path / "m2"))
+    spark.read.parquet(str(tmp_path / "m2")).write.mode("overwrite").parquet(store.manifest_path)
+
+    snap3, n3 = encode_resumable(store, web_pages, key="url", n_chunks=8)
+    assert snap3 is not None and n3 == 3
+
+    # decoded result == source (full table, bit-identical text per url)
+    dec = decode_table(store.read_encoded()).drop("__chunk")
+    out = dec.toPandas().sort_values("url", ignore_index=True)
+    src = web_pages.toPandas().sort_values("url", ignore_index=True)
+    assert len(out) == len(src)
+    assert (out["text"] == src["text"]).all()
+    micros = lambda s: s.astype("datetime64[us]").astype(np.int64).to_numpy()
+    assert (micros(out["warc_ts"]) == micros(src["warc_ts"])).all()
+
+
+def test_resume_no_duplicate_rows(web_pages, spark, tmp_path):
+    """Re-committing a chunk overwrites (dynamic partition overwrite), never
+    duplicates."""
+    store = EncodedStore(spark, str(tmp_path / "store2"))
+    encode_resumable(store, web_pages, key="url", n_chunks=4)
+    # force a full re-encode by wiping the manifest only
+    spark.createDataFrame([], "chunk_id long").write.mode("overwrite").parquet(store.manifest_path)
+    encode_resumable(store, web_pages, key="url", n_chunks=4)
+    dec = decode_table(store.read_encoded())
+    assert dec.count() == web_pages.count()

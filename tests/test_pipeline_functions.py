@@ -1,0 +1,127 @@
+"""Training-data pipeline operator tests: dedup finds seeded duplicates,
+similarity search agrees with brute force, text metrics behave, multimodal
+plumbing produces the contracted shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from varint_simd_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_near_dups,
+)
+from varint_simd_spark.functions.multimodal import FEATURE_DIM, binary_meta, extract_features
+from varint_simd_spark.functions.similarity import ann_topk_lsh, brute_force_topk, cosine_dup_pairs
+from varint_simd_spark.functions.text import lang_id, quality_score, simhash_df, token_count
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def seeded_dups(spark, docs):
+    """Documents + lightly-perturbed copies (known near-duplicates)."""
+    dup = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    out = docs.select("doc_id", "text").unionAll(dup)
+    out.cache().count()
+    return out
+
+
+def test_exact_dedup(spark, docs):
+    doubled = docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    out = exact_dedup(doubled, "text", "doc_id").toPandas()
+    assert len(out) == docs.count()
+    assert (out["dup_count"] == 2).all()
+    assert (out["doc_id"] < 10_000).all()  # min-id representative kept
+
+
+def test_minhash_finds_seeded_dups(spark, seeded_dups, docs):
+    pairs = minhash_lsh_pairs(seeded_dups, "doc_id", "text", jaccard_threshold=0.4).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    hit = sum((i, i + 10_000) in found for i in ids)
+    assert hit >= 0.9 * len(ids), f"minhash recall {hit}/{len(ids)}"
+
+
+def test_ngram_jaccard_verifies(spark, seeded_dups):
+    cand = spark.createDataFrame(
+        [(0, 10_000), (0, 1)], "id_a long, id_b long"
+    )
+    out = ngram_jaccard(cand, seeded_dups, "doc_id", "text", k=3).toPandas()
+    j = dict(zip(zip(out["id_a"], out["id_b"]), out["jaccard"]))
+    assert j[(0, 10_000)] > 0.5  # true near-dup
+    assert j[(0, 1)] < 0.5  # unrelated pair
+
+
+def test_simhash_near_dups_recall(spark, seeded_dups, docs):
+    pairs = simhash_near_dups(seeded_dups, "doc_id", "text", max_hamming=3).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    hit = sum((i, i + 10_000) in found for i in ids)
+    assert hit >= 0.5 * len(ids), f"simhash recall {hit}/{len(ids)}"
+
+
+def test_simhash_deterministic(spark, docs):
+    a = simhash_df(docs, "doc_id", "text").orderBy("doc_id").toPandas()
+    b = simhash_df(docs, "doc_id", "text").orderBy("doc_id").toPandas()
+    assert (a["simhash"] == b["simhash"]).all()
+
+
+def test_ann_lsh_overlaps_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [0.1 if i % 3 else -0.1 for i in range(64)]
+    exact = set(brute_force_topk(emb, q, k=10).toPandas()["vec_id"])
+    approx = set(ann_topk_lsh(emb, q, k=10, n_planes=6).toPandas()["vec_id"])
+    assert len(exact & approx) >= 6, (exact, approx)
+
+
+def test_cosine_dup_pairs_lsh_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_dup_pairs(emb, threshold=0.5, exact=True).toPandas()
+    # the LSH path must find a subset (same-signature requirement)
+    lsh = cosine_dup_pairs(emb, threshold=0.5, exact=False, n_planes=4).toPandas()
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    l = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert l <= e
+
+
+def test_text_metrics_shapes(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("t"),
+        quality_score("text").alias("q"),
+        lang_id("text").alias("l"),
+    ).toPandas()
+    assert (out["t"] > 0).all()
+    assert out["q"].between(0, 1).all()
+    assert set(out["l"]) <= {"en", "de", "fr", "es", "und"}
+
+
+def test_multimodal_plumbing(spark):
+    from varint_simd_spark.sources.web_pages import generate_web_pages
+
+    wp = generate_web_pages(spark, 300, seed=42).withColumn("page_id", F.xxhash64("url"))
+    meta = binary_meta(wp, "html", "page_id").toPandas()
+    assert (meta["format"] == "html").all()
+    assert (meta["n_bytes"] > 50).all()
+
+    feats = extract_features(wp, "html", "page_id").toPandas()
+    assert len(feats) == 300
+    assert all(len(f) == FEATURE_DIM for f in feats["features"])
+    s = np.array([np.sum(f) for f in feats["features"]])
+    np.testing.assert_allclose(s, 1.0, rtol=1e-5)  # histogram normalized

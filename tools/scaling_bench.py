@@ -1,0 +1,134 @@
+"""Two-parallelism scaling benchmark (the sandbox stand-in for the north
+rule's N vs 4N executor requirement — no real cluster here, so the same
+job runs at local[8] and local[32] on identical input).
+
+Usage: python tools/scaling_bench.py [n_pages] [--update-baseline]
+
+Runs the full encode pipeline (synthetic web_pages -> salted chunking ->
+auto-codec encode -> parquet store -> decode + verify count) in a fresh
+subprocess per parallelism level, timing ONLY job execution (session
+startup excluded).  Prints a JSON summary and, with --update-baseline,
+rewrites the "Measured engine results" section of BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from varint_simd_spark.operators import decode_table
+from varint_simd_spark.plans.partitioning import encode_table_salted
+from varint_simd_spark.sources.session import get_spark
+from varint_simd_spark.sources.web_pages import generate_web_pages
+
+cpus = int(sys.argv[1]); n_pages = int(sys.argv[2])
+spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=max(cpus * 2, 16))
+spark.sparkContext.setLogLevel("ERROR")
+tmp = tempfile.mkdtemp(prefix=f"vss_scale{cpus}_")
+
+wp = generate_web_pages(spark, n_pages, seed=42)
+wp.write.mode("overwrite").parquet(f"{tmp}/web_pages")
+wp = spark.read.parquet(f"{tmp}/web_pages")
+raw_bytes = wp.select(F.sum(F.length("url") + F.lit(8) + F.length("html")
+                            + F.length("text") + F.length("lang"))).collect()[0][0]
+# warm the python workers (first-call numpy/arrow init is one-time)
+encode_table_salted(wp.limit(2000), n_chunks=cpus).count()
+
+# IMPORTANT: identical job at both levels — same input, same n_chunks.
+# Machine is shared/noisy: best-of-2 per stage.
+enc_best = dec_best = 9e9
+for _ in range(2):
+    t0 = time.perf_counter()
+    enc = encode_table_salted(wp, n_chunks=128, target_rows_per_chunk=200_000)
+    enc.write.mode("overwrite").parquet(f"{tmp}/enc")
+    enc_best = min(enc_best, time.perf_counter() - t0)
+    enc2 = spark.read.parquet(f"{tmp}/enc")
+    t1 = time.perf_counter()
+    n = decode_table(enc2).count()
+    dec_best = min(dec_best, time.perf_counter() - t1)
+    assert n == n_pages, (n, n_pages)
+
+print(json.dumps({"cpus": cpus, "encode_sec": round(enc_best, 3),
+                  "decode_sec": round(dec_best, 3), "raw_bytes": int(raw_bytes),
+                  "rows": n_pages}))
+shutil.rmtree(tmp, ignore_errors=True)
+spark.stop()
+""" % {"repo": REPO}
+
+
+def run_level(cpus: int, n_pages: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cpus), str(n_pages)],
+        capture_output=True, text=True, cwd=REPO, timeout=1200,
+    )
+    if out.returncode != 0:
+        print(out.stderr[-3000:], file=sys.stderr)
+        raise SystemExit(f"level {cpus} failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 150_000
+    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(",")]
+    rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
+    # interleave levels A,B,A,B and keep per-level best — controls drift on
+    # a shared/noisy machine
+    results: dict[int, dict] = {}
+    for _ in range(rounds):
+        for c in levels:
+            r = run_level(c, n_pages)
+            best = results.get(c)
+            if best is None or (r["encode_sec"] + r["decode_sec"]) < (
+                best["encode_sec"] + best["decode_sec"]
+            ):
+                results[c] = r
+            print(json.dumps(r), file=sys.stderr)
+    lo, hi = results[levels[0]], results[levels[1]]
+
+    def tput(r):
+        return r["raw_bytes"] / (r["encode_sec"] + r["decode_sec"])
+
+    eff = (tput(hi) / tput(lo)) / (levels[1] / levels[0])
+    summary = {
+        "rows": n_pages,
+        "raw_gb": round(hi["raw_bytes"] / 1e9, 3),
+        f"local{levels[0]}": {"encode_sec": lo["encode_sec"], "decode_sec": lo["decode_sec"],
+                              "gbps": round(tput(lo) / 1e9, 3)},
+        f"local{levels[1]}": {"encode_sec": hi["encode_sec"], "decode_sec": hi["decode_sec"],
+                              "gbps": round(tput(hi) / 1e9, 3)},
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+    if "--update-baseline" in sys.argv:
+        md = (
+            "\n## Measured engine results (this sandbox)\n\n"
+            f"Synthetic web_pages, {n_pages:,} rows, {summary['raw_gb']} GB raw column bytes; "
+            "full pipeline = salted chunking -> auto-codec encode -> parquet store -> decode+count.\n\n"
+            "| parallelism | encode s | decode s | GB/s (raw bytes / wall) |\n|---|---|---|---|\n"
+            f"| local[{levels[0]}] | {lo['encode_sec']} | {lo['decode_sec']} | {summary[f'local{levels[0]}']['gbps']} |\n"
+            f"| local[{levels[1]}] | {hi['encode_sec']} | {hi['decode_sec']} | {summary[f'local{levels[1]}']['gbps']} |\n\n"
+            f"**Scaling efficiency ({levels[0]} -> {levels[1]} cores, target >=0.8): "
+            f"{summary['scaling_efficiency']}**\n"
+        )
+        path = os.path.join(REPO, "BASELINE.md")
+        text = open(path).read()
+        marker = "\n## Measured engine results (this sandbox)"
+        if marker in text:
+            text = text[: text.index(marker)]
+        open(path, "w").write(text + md)
+        print("BASELINE.md updated", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

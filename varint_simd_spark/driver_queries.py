@@ -152,6 +152,8 @@ def q_compression_metrics_lineitem(spark, sf_dir):
     return chunk_metrics(enc)
 
 
+from .driver_queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
+
 QUERIES = {
     "auto_roundtrip_lineitem": q_auto_roundtrip_lineitem,
     "varint_roundtrip_orders_keys": q_varint_roundtrip_orders_keys,
@@ -165,6 +167,7 @@ QUERIES = {
     "varint_size_by_priority": q_varint_size_by_priority,
     "zigzag_native_orders": q_zigzag_native_orders,
     "compression_metrics_lineitem": q_compression_metrics_lineitem,
+    **PIPELINE_QUERIES,
 }
 
 _VLEN_CASE = _VARINT_LEN_CASE_SQL.format(col="o_orderkey")
@@ -191,4 +194,5 @@ ORACLES = {
         "ELSE -2*(o_custkey - 750) - 1 END AS BIGINT) AS zz FROM orders"
     ),
     # compression_metrics_lineitem: engine-internal — rows-only check
+    **PIPELINE_ORACLES,
 }

@@ -1,0 +1,204 @@
+"""Driver-contract queries for the training-data pipeline operators
+(dedup / similarity / text analysis / multimodal) — SURVEY.md §2 extension
+set.  Oracle-expressible ones get DuckDB SQL; hash-dependent ones are
+rows-only."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_allpairs,
+    simhash_near_dups,
+)
+from .functions.multimodal import binary_meta, extract_features
+from .functions.similarity import brute_force_topk, cosine_dup_pairs, ann_topk_lsh
+from .functions.text import (
+    lang_id,
+    lang_id_sql_duckdb,
+    quality_score,
+    quality_score_sql_duckdb,
+    shingle_fingerprint,
+    simhash_df,
+    stopword_ratio,
+    stopword_ratio_sql_duckdb,
+    token_count,
+    token_count_sql_duckdb,
+)
+
+QUERY_VEC = [0.1 if i % 3 else -0.1 for i in range(64)]  # fixed ANN query
+_QV_SQL = "[" + ", ".join(f"{x}::DOUBLE" for x in QUERY_VEC) + "]"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return exact_dedup(ev, "event_type", "event_id")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        ngram_jaccard_allpairs(docs, "doc_id", "text", k=3)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(emb, QUERY_VEC, k=10)
+    return out.select("vec_id", F.round("cos", 6).alias("cos"))
+
+
+def q_cosine_dup_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        cosine_dup_pairs(emb, threshold=0.5, exact=True)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+# ---- rows-only (hash-dependent / synthetic-input) operators --------------
+
+
+def q_minhash_lsh_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # seed near-duplicates so the operator has positives to find: docs
+    # unioned with truncated copies of themselves
+    seeded = docs.select("doc_id", "text").unionAll(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    return minhash_lsh_pairs(seeded, "doc_id", "text", jaccard_threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", "text").unionAll(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" x")).alias("text"),
+        )
+    )
+    return simhash_near_dups(seeded, "doc_id", "text", max_hamming=3)
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    return simhash_df(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", shingle_fingerprint("text", k=8).alias("fingerprint")
+    )
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_lsh(emb, QUERY_VEC, k=10, n_planes=10)
+
+
+def q_binary_meta(spark, sf_dir):
+    from .sources.web_pages import generate_web_pages
+
+    wp = generate_web_pages(spark, 2000, seed=42).withColumn(
+        "page_id", F.monotonically_increasing_id()
+    )
+    return binary_meta(wp, "html", "url").select("url", "n_bytes", "format")
+
+
+def q_multimodal_features(spark, sf_dir):
+    from .sources.web_pages import generate_web_pages
+
+    wp = generate_web_pages(spark, 2000, seed=42).withColumn(
+        "page_id", F.xxhash64("url")
+    )
+    return extract_features(wp, "html", "page_id")
+
+
+PIPELINE_QUERIES = {
+    "token_count_documents": q_token_count,
+    "quality_score_documents": q_quality_score,
+    "lang_id_documents": q_lang_id,
+    "exact_dedup_events_type": q_exact_dedup,
+    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs,
+    "cosine_topk_embeddings": q_cosine_topk,
+    "cosine_dup_pairs_embeddings": q_cosine_dup_pairs,
+    "minhash_lsh_dups_documents": q_minhash_lsh_dups,
+    "simhash_near_dups_documents": q_simhash_near_dups,
+    "simhash_fingerprints_documents": q_simhash_fingerprints,
+    "doc_fingerprints_documents": q_doc_fingerprints,
+    "ann_topk_lsh_embeddings": q_ann_topk_lsh,
+    "binary_meta_web_pages": q_binary_meta,
+    "multimodal_features_web_pages": q_multimodal_features,
+}
+
+PIPELINE_ORACLES = {
+    "token_count_documents": (
+        f"SELECT doc_id, CAST({token_count_sql_duckdb('text')} AS BIGINT) AS n_tokens FROM documents"
+    ),
+    "quality_score_documents": (
+        f"SELECT doc_id, round({quality_score_sql_duckdb('text')}, 6) AS quality, "
+        f"round({stopword_ratio_sql_duckdb('text')}, 6) AS stopword_ratio FROM documents"
+    ),
+    "lang_id_documents": (
+        f"SELECT doc_id, {lang_id_sql_duckdb('text')} AS lang_pred FROM documents"
+    ),
+    "exact_dedup_events_type": (
+        "SELECT CAST(min(event_id) AS BIGINT) AS event_id, event_type, "
+        "COUNT(*) AS dup_count FROM events GROUP BY event_type"
+    ),
+    "ngram_jaccard_pairs_documents": """
+        WITH sh AS (
+          SELECT doc_id, list_distinct([
+            array_to_string(toks[i:i+2], ' ')
+            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+          ]) AS grams
+          FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+    """,
+    "cosine_topk_embeddings": (
+        f"SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS cos "
+        "FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10"
+    ),
+    "cosine_dup_pairs_embeddings": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos "
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5"
+    ),
+}

@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard
+verification, embedding-cosine near-dup — each expressed shuffle-minimally:
+
+* exact: ONE groupBy on a content hash (map-side combine);
+* MinHash+LSH: signatures are pure per-row native exprs (no shuffle);
+  candidate pairs come from a self-equi-join on (band, band_hash) —
+  Catalyst plans a shuffled hash join on the band key, which is the
+  textbook LSH bucket join and scales linearly with bucket sizes;
+* verification joins are equi-joins on doc ids (broadcast when small).
+
+All hashing uses Spark's xxhash64 (JVM, WSCG).  Hash-dependent outputs are
+engine-defined, so their driver checks are rows-only; the *verification*
+operators (exact jaccard on shingle sets) are oracle-expressible and are
+checked value-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def content_hash(col: str) -> Column:
+    """Exact-dup key: xxhash64 of the raw content."""
+    return F.xxhash64(F.col(col))
+
+
+def exact_dedup(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact content; one shuffle."""
+    return (
+        df.groupBy(F.col(col).alias("__content"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, F.col("__content").alias(col), "dup_count")
+    )
+
+
+def char_shingles(col: str, k: int = 8) -> Column:
+    """All k-char shingles of a string (native transform/sequence)."""
+    c = F.col(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(c, i, k))
+
+
+def word_shingles(col: str, k: int = 3) -> Column:
+    """All k-word shingles (native)."""
+    t = tokens(col)
+    n = F.greatest(F.size(t) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+    )
+
+
+def minhash_signature(col: str, n_hashes: int = 32, k: int = 8) -> Column:
+    """MinHash signature: array of n_hashes minima of seeded xxhash64 over
+    the k-char shingle set.  Pure per-row expression — no shuffle."""
+    sh = char_shingles(col, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j))))
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig_col: str, n_bands: int = 8, rows_per_band: int = 4) -> Column:
+    """Band hashes: array of n_bands xxhash64 values over signature slices."""
+    return F.array(
+        *[
+            F.xxhash64(
+                *[F.col(sig_col).getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    k: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, filtered by
+    the signature-estimated jaccard.  Returns (id_a, id_b, est_jaccard)
+    with id_a < id_b."""
+    rows_per_band = n_hashes // n_bands
+    sigs = df.select(
+        F.col(id_col),
+        minhash_signature(text_col, n_hashes, k).alias("__sig"),
+    ).withColumn("__bands", lsh_bands("__sig", n_bands, rows_per_band))
+    exploded = sigs.select(
+        id_col, "__sig", F.posexplode("__bands").alias("__band", "__bh")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bh") == F.col("b.__bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sig").alias("__sa"),
+            F.col("b.__sig").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(n_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Exact word-k-gram jaccard verification of candidate pairs
+    (broadcast-joins the doc table when small; equi-joins on ids)."""
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, k)).alias("__sh")
+    )
+    out = (
+        df_pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sha", "__shb"))
+            / F.size(F.array_union("__sha", "__shb")),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_allpairs(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Exact all-pairs word-k-gram jaccard (small tables / oracle gate —
+    the scale path is minhash_lsh_pairs + ngram_jaccard)."""
+    sh = docs.select(F.col(id_col), F.array_distinct(word_shingles(text_col, k)).alias("__sh"))
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sha")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__shb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sha", "__shb"))
+            / F.size(F.array_union("__sha", "__shb")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: 4x16-bit block LSH (two fingerprints within
+    hamming distance d<=3 share at least one of 4 blocks exactly), then
+    exact hamming filter via bit_count(xor)."""
+    from .text import simhash_df
+
+    sh = simhash_df(df, id_col, text_col)
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("long")
+                for i in range(4)
+            ])
+        ).alias("__blk", "__bv"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__ha"),
+            F.col("b.simhash").alias("__hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,146 @@
+"""Text-analysis functions for training-data pipelines — all native Spark
+column expressions (JVM-side, whole-stage codegen; no Python in the hot
+path), each with a DuckDB-mirrorable SQL formula for the oracle gate.
+
+Operators: token counting, quality scoring, language ID (stopword-hit
+heuristic), document fingerprinting (shingle min-hash / rolling-hash
+style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists (public common words)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "que", "por"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ["a", "in", "it", "for", "on", "as", "are"]
+
+
+def tokens(col: str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def token_count(col: str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql_duckdb(col: str) -> str:
+    return f"len(regexp_split_to_array(lower(trim({col})), '\\s+'))"
+
+
+def _hits(col: str, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def _hits_sql(col: str, words: list[str]) -> str:
+    wl = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(trim({col})), '\\s+'), "
+        f"t -> list_contains([{wl}], t)))"
+    )
+
+
+def stopword_ratio(col: str) -> Column:
+    return (_hits(col, STOPWORDS_EN) / F.greatest(token_count(col), F.lit(1))).cast("double")
+
+
+def stopword_ratio_sql_duckdb(col: str) -> str:
+    return (
+        f"CAST({_hits_sql(col, STOPWORDS_EN)} AS DOUBLE) / "
+        f"greatest({token_count_sql_duckdb(col)}, 1)"
+    )
+
+
+def quality_score(col: str) -> Column:
+    """Simple quality heuristic in [0,1]: length band + stopword presence +
+    mean word length band (the classic Gopher-style rules, simplified).
+    Integer-scaled to avoid float-division drift between engines."""
+    n_tok = token_count(col)
+    n_chars = F.length(F.col(col))
+    mean_wl = n_chars / F.greatest(n_tok, F.lit(1))
+    sw = stopword_ratio(col)
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), 1).otherwise(0)
+        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 1).otherwise(0)
+        + F.when(sw >= 0.05, 1).otherwise(0)
+        + F.when(n_chars >= 50, 1).otherwise(0)
+    )
+    return (score / F.lit(4.0)).alias("quality")
+
+
+def quality_score_sql_duckdb(col: str) -> str:
+    n_tok = token_count_sql_duckdb(col)
+    sw = stopword_ratio_sql_duckdb(col)
+    return (
+        f"(CASE WHEN {n_tok} BETWEEN 10 AND 100000 THEN 1 ELSE 0 END"
+        f" + CASE WHEN CAST(length({col}) AS DOUBLE) / greatest({n_tok},1) BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {sw} >= 0.05 THEN 1 ELSE 0 END"
+        f" + CASE WHEN length({col}) >= 50 THEN 1 ELSE 0 END) / 4.0"
+    )
+
+
+def lang_id(col: str) -> Column:
+    """Stopword-hit language ID over {en,de,fr,es}; 'und' when no hits.
+    Deterministic tie-break by fixed language order."""
+    hits = {lang: _hits(col, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):  # first lang wins ties
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql_duckdb(col: str) -> str:
+    h = {lang: _hits_sql(col, words) for lang, words in LANG_STOPWORDS.items()}
+    greatest = f"greatest({', '.join(h.values())})"
+    expr = "'und'"
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = (
+            f"CASE WHEN {h[lang]} > 0 AND {h[lang]} = {greatest} "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+def shingle_fingerprint(col: str, k: int = 8) -> Column:
+    """Document fingerprint: min over xxhash64 of all k-char shingles —
+    the winnowing/rolling-hash scheme at shingle granularity.  Native exprs
+    only; not DuckDB-mirrorable (hash differs) -> rows-only check."""
+    c = F.col(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.array_min(F.transform(idx, lambda i: F.xxhash64(F.substring(c, i, k))))
+
+
+def simhash_df(df, id_col: str, text_col: str):
+    """64-bit SimHash per document: explode tokens -> xxhash64 -> ONE
+    groupBy with 64 per-bit majority sums -> assemble the long.  All
+    JVM-side (explode + hash + conditional sums are WSCG); one shuffle on
+    the doc id — the minimal-shuffle formulation of simhash at scale."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(
+            F.when(F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(F.col(id_col), out.alias("simhash"))

@@ -1,0 +1,139 @@
+"""Encoded-table store with checkpointed, idempotently-resumable commits.
+
+Production target is an Iceberg table (snapshot isolation, atomic append,
+time travel); this sandbox has no Iceberg runtime jar, so the store runs on
+the parquet fallback behind the same interface:
+
+* encoded chunks land under ``<root>/encoded/`` partitioned by ``chunk_id``
+  with dynamic partition overwrite — re-encoding a chunk atomically
+  replaces exactly that chunk's files (crash-safe: a chunk is visible only
+  once its manifest row commits);
+* ``<root>/manifest/`` is an append-only parquet log of committed chunks
+  (chunk_id, snapshot_id, wall time, sizes) — the analog of Iceberg's
+  snapshot metadata, and the lineage table required by the north rule;
+* resume = left-anti join of planned chunk ids against the manifest: only
+  missing/failed chunks are re-encoded (idempotent — chunk membership is a
+  pure function of the data, see operators/encode.py).
+
+To run on a real cluster with Iceberg, pass ``iceberg_table=`` and the
+store uses ``writeTo(...).append()`` under the same API (config documented
+in ICEBERG_CONF below; requires the spark-iceberg runtime jar).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Config a production deployment would add for the Iceberg path (public
+# Iceberg quickstart settings; unusable here without the runtime jar).
+ICEBERG_CONF = {
+    "spark.sql.extensions": "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+    "spark.sql.catalog.engine": "org.apache.iceberg.spark.SparkCatalog",
+    "spark.sql.catalog.engine.type": "hadoop",
+    # "spark.sql.catalog.engine.warehouse": "<warehouse path>",
+}
+
+
+class EncodedStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.enc_path = f"{self.root}/encoded"
+        self.manifest_path = f"{self.root}/manifest"
+
+    # -- manifest -----------------------------------------------------------
+
+    def committed_chunks(self) -> DataFrame:
+        """Distinct committed chunk ids (empty DataFrame on first run)."""
+        try:
+            m = self.spark.read.parquet(self.manifest_path)
+            return m.select("chunk_id").distinct()
+        except Exception:
+            return self.spark.createDataFrame([], "chunk_id long")
+
+    def manifest(self) -> DataFrame:
+        return self.spark.read.parquet(self.manifest_path)
+
+    # -- commit -------------------------------------------------------------
+
+    def commit(self, enc: DataFrame) -> str:
+        """Write encoded chunks, then commit them to the manifest.
+
+        Data files first (dynamic overwrite of touched chunk partitions),
+        manifest append second — a crash in between leaves orphan data
+        files that the next resume simply overwrites."""
+        snapshot_id = uuid.uuid4().hex[:16]
+        (
+            enc.repartition("chunk_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chunk_id")
+            .parquet(self.enc_path)
+        )
+        written = self.spark.read.parquet(self.enc_path)
+        lineage = (
+            written.groupBy("chunk_id")
+            .agg(
+                F.sum("n_values").alias("n_values"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.count("*").alias("n_columns"),
+            )
+            .withColumn("snapshot_id", F.lit(snapshot_id))
+            .withColumn("committed_at", F.lit(time.time()))
+        )
+        lineage.write.mode("append").parquet(self.manifest_path)
+        return snapshot_id
+
+    def read_encoded(self) -> DataFrame:
+        """Committed encoded chunks only (manifest-gated read)."""
+        enc = self.spark.read.parquet(self.enc_path)
+        return enc.join(
+            F.broadcast(self.committed_chunks()), on="chunk_id", how="left_semi"
+        )
+
+
+def encode_resumable(
+    store: EncodedStore,
+    df: DataFrame,
+    key: str = "url",
+    n_chunks: int = 32,
+    codecs: dict[str, str] | None = None,
+    salted: bool = False,
+    target_rows_per_chunk: int = 50_000,
+) -> tuple[str | None, int]:
+    """Encode only the chunks not yet committed; returns (snapshot_id or
+    None if nothing to do, number of chunks encoded this run).
+
+    The planned chunk universe is 0..n_chunks-1; the pending set is a
+    driver-side anti-join of that against the manifest (both tiny).  The
+    big-side filter on the chunk expression prunes rows of already-committed
+    chunks before the encode shuffle."""
+    committed = {r["chunk_id"] for r in store.committed_chunks().collect()}
+    pending = [c for c in range(n_chunks) if c not in committed]
+    if not pending:
+        return None, 0
+
+    if salted:
+        from ..plans.partitioning import salted_chunk_column
+
+        df2 = salted_chunk_column(df, n_chunks, key, target_rows_per_chunk)
+    else:
+        df2 = df.withColumn("__chunk", F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)))
+
+    from ..operators.encode import ENCODED_SCHEMA, make_encode_chunk_fn
+
+    columns = df.columns
+    fn = make_encode_chunk_fn(columns, codecs or {}, key)
+    enc = (
+        df2.select(*columns, "__chunk")
+        .filter(F.col("__chunk").isin(pending))
+        .groupBy("__chunk")
+        .applyInArrow(fn, schema=ENCODED_SCHEMA)
+    )
+    snapshot_id = store.commit(enc)
+    return snapshot_id, len(pending)
