@@ -145,3 +145,23 @@ def test_property_int_codecs(vals, codec):
     impl = INT_CODECS[codec]
     payload, params = impl.encode(v)
     np.testing.assert_array_equal(impl.decode(payload, params, len(v)), v)
+
+
+def test_varint_codec_width_specialization():
+    """The codec records the narrowest fitting width and the decoder
+    enforces that width's overflow rules (reference monomorphization,
+    src/num.rs:48-299)."""
+    from varint_simd_spark.kernels.errors import Overflow
+
+    impl = INT_CODECS["varint"]
+    small = np.array([0, 100, 255], dtype=np.int64)
+    payload, params = impl.encode(small)
+    assert params["width"] == "8"
+    np.testing.assert_array_equal(impl.decode(payload, params, 3), small)
+    # a payload carrying a too-wide value under a narrow descriptor errors
+    big_payload, _ = impl.encode(np.array([300], dtype=np.int64))
+    with pytest.raises(Overflow):
+        impl.decode(big_payload, {"width": "8"}, 1)
+    for vals, w in [([65535], "16"), ([2**20], "32"), ([2**40], "64"), ([-1], "64")]:
+        _, p = impl.encode(np.array(vals, dtype=np.int64))
+        assert p["width"] == w, (vals, p)

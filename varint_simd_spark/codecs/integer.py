@@ -39,16 +39,35 @@ def _to_i64(arr: np.ndarray) -> np.ndarray:
 
 class VarintU64:
     """Minimal-length LEB128 per value (reference encode/decode,
-    src/encode/mod.rs:23-25 / src/decode/mod.rs:28-54)."""
+    src/encode/mod.rs:23-25 / src/decode/mod.rs:28-54).
+
+    Width specialization: the reference monomorphizes per integer width
+    (encode::<u8|u16|u32|u64>, README.md:57-59 — "type parameter greatly
+    affects performance").  The engine's analog: the encoder records the
+    narrowest width the chunk fits (8/16/32/64) in the codec descriptor and
+    the decoder enforces that width's MAX_VARINT_BYTES /
+    MAX_LAST_VARINT_BYTE overflow rules (src/decode/mod.rs:42-48)."""
 
     name = "varint"
 
+    @staticmethod
+    def _fit_width(u: np.ndarray) -> int:
+        if u.size == 0:
+            return 64
+        hi = int(u.max())
+        for w in (8, 16, 32):
+            if hi < (1 << w):
+                return w
+        return 64
+
     def encode(self, arr: np.ndarray) -> tuple[bytes, dict]:
-        payload, _ = varint.encode(_to_u64(arr))
-        return payload, {}
+        u = _to_u64(arr)
+        payload, _ = varint.encode(u)
+        return payload, {"width": str(self._fit_width(u))}
 
     def decode(self, payload: bytes, params: dict, n: int) -> np.ndarray:
-        return _to_i64(varint.decode(payload, count=n, width=64))
+        width = int(params.get("width", 64))
+        return _to_i64(varint.decode(payload, count=n, width=width))
 
 
 class VarintZigZag:

@@ -46,10 +46,12 @@ def q_varint_roundtrip_orders_keys(spark, sf_dir):
 
 
 def q_varint_zz_roundtrip_events_value(spark, sf_dir):
+    """varint_zz (zigzag+varint) on user_id, raw64 bit-preserved double on
+    value, width-specialized varint on event_id."""
     return _roundtrip(
         spark, sf_dir, "events", "event_id",
-        ["event_id", "value"],
-        codecs={"event_id": "varint", "value": "raw64"},
+        ["event_id", "user_id", "value"],
+        codecs={"event_id": "varint", "user_id": "varint_zz", "value": "raw64"},
     )
 
 
@@ -176,7 +178,7 @@ _VLEN_CASE_CUST = _VARINT_LEN_CASE_SQL.format(col="o_custkey")
 ORACLES = {
     "auto_roundtrip_lineitem": "SELECT * FROM lineitem",
     "varint_roundtrip_orders_keys": "SELECT o_orderkey, o_custkey FROM orders",
-    "varint_zz_roundtrip_events_value": "SELECT event_id, value FROM events",
+    "varint_zz_roundtrip_events_value": "SELECT event_id, user_id, value FROM events",
     "delta_zz_roundtrip_events_ts": "SELECT event_id, ts FROM events",
     "for_bitpack_roundtrip_lineitem": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "rle_roundtrip_lineitem_flags": "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem",
