@@ -237,11 +237,12 @@ class FsstStr:
         m &= ~last_byte_of_value[:-1]
 
         # greedy non-overlap: even offsets within each run of candidates
+        # (int32 throughout — these temporaries dominate memory traffic)
         m_ext = np.concatenate([[False], m])
         run_start = m & ~m_ext[:-1]
-        run_id = np.cumsum(run_start)
-        pos = np.arange(nb - 1)
-        first_pos_of_run = np.zeros(run_id.max() + 1 if run_id.size else 1, dtype=np.int64)
+        run_id = np.cumsum(run_start, dtype=np.int32)
+        pos = np.arange(nb - 1, dtype=np.int32)
+        first_pos_of_run = np.zeros(int(run_id[-1]) + 1 if run_id.size else 1, dtype=np.int32)
         starts_idx = np.flatnonzero(run_start)
         first_pos_of_run[run_id[starts_idx]] = starts_idx
         offset_in_run = pos - first_pos_of_run[run_id]
@@ -258,11 +259,13 @@ class FsstStr:
         esc = remain & (sc < 0)
         single = remain & (sc >= 0)
 
-        cost = np.zeros(nb, dtype=np.int64)
+        cost = np.zeros(nb, dtype=np.uint8)
         cost[is_pair_start] = 1
         cost[single] = 1
         cost[esc] = 2
-        out_offs = np.concatenate([[0], np.cumsum(cost)])
+        out_offs = np.empty(nb + 1, dtype=np.int64)
+        out_offs[0] = 0
+        np.cumsum(cost, dtype=np.int64, out=out_offs[1:])
         out = np.empty(int(out_offs[-1]), dtype=np.uint8)
         out[out_offs[sel_pos]] = pair_code[pairs[sel_pos]].astype(np.uint8)
         single_idx = np.flatnonzero(single)

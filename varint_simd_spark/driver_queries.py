@@ -144,6 +144,32 @@ def q_zigzag_native_orders(spark, sf_dir):
     return df.select("o_orderkey", n.alias("n"), zz.alias("zz"))
 
 
+def q_delta_lag_native_events(spark, sf_dir):
+    """Delta encoding at the DataFrame level: F.lag window (SURVEY §2.2
+    window-functions row) — the shuffle-based alternative to the in-kernel
+    np.diff the codecs use."""
+    from pyspark.sql import Window
+
+    df = _read(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    return df.select(
+        "event_id",
+        (micros - F.lag(micros).over(w)).alias("ts_delta_us"),
+    )
+
+
+def q_top_sources_documents(spark, sf_dir):
+    """Sorts / limits / top-k row of SURVEY §2.2 (the skew-report shape)."""
+    df = _read(spark, sf_dir, "documents")
+    return (
+        df.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .orderBy(F.desc("n"), "source")
+        .limit(5)
+    )
+
+
 # --------------------------------------------------------------------------
 # lineage / metrics (rows-only check: aggregates of engine-internal sizes)
 
@@ -168,6 +194,8 @@ QUERIES = {
     "varint_len_orders": q_varint_len_orders,
     "varint_size_by_priority": q_varint_size_by_priority,
     "zigzag_native_orders": q_zigzag_native_orders,
+    "delta_lag_native_events": q_delta_lag_native_events,
+    "top_sources_documents": q_top_sources_documents,
     "compression_metrics_lineitem": q_compression_metrics_lineitem,
     **PIPELINE_QUERIES,
 }
@@ -194,6 +222,14 @@ ORACLES = {
         "SELECT o_orderkey, CAST(o_custkey - 750 AS BIGINT) AS n, "
         "CAST(CASE WHEN o_custkey - 750 >= 0 THEN 2*(o_custkey - 750) "
         "ELSE -2*(o_custkey - 750) - 1 END AS BIGINT) AS zz FROM orders"
+    ),
+    "delta_lag_native_events": (
+        "SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY event_id) "
+        "AS ts_delta_us FROM events"
+    ),
+    "top_sources_documents": (
+        "SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars "
+        "FROM documents GROUP BY source ORDER BY n DESC, source LIMIT 5"
     ),
     # compression_metrics_lineitem: engine-internal — rows-only check
     **PIPELINE_ORACLES,
