@@ -57,6 +57,8 @@ def main() -> None:
     wp = generate_web_pages(spark, n_pages, seed=42)
     wp.write.mode("overwrite").parquet(f"{tmp}/web_pages")
     wp = spark.read.parquet(f"{tmp}/web_pages")
+    # warm python workers (first-call numpy/arrow init would pollute timings)
+    encode_table(wp.limit(4000), key="url", n_chunks=int(cpus)).count()
     raw_wp = wp.select(
         F.sum(F.length("url") + F.lit(8) + F.length("html") + F.length("text") + F.length("lang"))
     ).collect()[0][0]

@@ -94,3 +94,28 @@ def test_resume_no_duplicate_rows(web_pages, spark, tmp_path):
     encode_resumable(store, web_pages, key="url", n_chunks=4)
     dec = decode_table(store.read_encoded())
     assert dec.count() == web_pages.count()
+
+
+def test_decode_colocated_matches_shuffled(web_pages, spark, tmp_path):
+    """Shuffle-free decode over the store layout must equal the shuffled
+    decode and contain zero exchanges in its plan."""
+    from varint_simd_spark.operators import decode_table_colocated
+
+    store = EncodedStore(spark, str(tmp_path / "store3"))
+    encode_resumable(store, web_pages, key="url", n_chunks=6)
+    enc = store.read_encoded()
+    a = decode_table(enc).drop("__chunk").toPandas().sort_values("url", ignore_index=True)
+    dfb = decode_table_colocated(enc)
+
+    def n_data_exchanges(df):
+        # exchanges excluding broadcast and the tiny manifest-distinct one
+        plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+        return plan.replace("BroadcastExchange", "").count("Exchange")
+
+    shuffled = decode_table(enc)
+    # colocated decode drops the big-side groupBy exchange: exactly one
+    # fewer exchange than the shuffled path (the remaining one is the tiny
+    # manifest distinct feeding the broadcast semi-join)
+    assert n_data_exchanges(dfb) == n_data_exchanges(shuffled) - 1
+    b = dfb.drop("__chunk").toPandas().sort_values("url", ignore_index=True)
+    assert (a["text"] == b["text"]).all() and len(a) == len(b)

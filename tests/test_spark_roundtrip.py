@@ -97,3 +97,30 @@ def test_decode_is_shuffle_lean(web_pages):
     plan = enc._jdf.queryExecution().executedPlan().toString()
     final_plan = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-adaptive plan too
     assert final_plan.count("Exchange") <= 1, final_plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Encoding a column subset must prune the parquet scan (ReadSchema
+    contains only the requested columns + key) — Catalyst pushdown works
+    through the applyInArrow plan."""
+    import re
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    enc = encode_table(li, key="l_orderkey", columns=["l_orderkey", "l_quantity"], n_chunks=4)
+    plan = enc._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A filter before encode must reach the scan as a PushedFilter."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    enc = encode_table(
+        li.filter(F.col("l_orderkey") > 1000), key="l_orderkey", n_chunks=4
+    )
+    plan = enc._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,1000)]" in plan, plan

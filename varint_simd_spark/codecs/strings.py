@@ -205,6 +205,11 @@ class FsstStr:
         singles = present[:n_singles]
         return top.astype(np.uint16), singles.astype(np.uint8)
 
+    # compression runs in ~15 whole-array passes; tile the blob so those
+    # passes hit a core-private L2 slice instead of re-streaming shared
+    # DRAM (cache blocking — big effect on multi-core scaling)
+    TILE_BYTES = 1 << 18
+
     def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
         blob, offs = bo
         pair_syms, single_syms = self._train(blob)
@@ -214,7 +219,24 @@ class FsstStr:
         single_code = np.full(256, -1, dtype=np.int16)
         single_code[single_syms] = np.arange(P, P + S, dtype=np.int16)
 
-        out, comp_lens = self._compress_with_boundaries(blob, offs, pair_code, single_code)
+        n_vals = offs.size - 1
+        if int(offs[-1]) <= self.TILE_BYTES or n_vals < 2:
+            out, comp_lens = self._compress_with_boundaries(blob, offs, pair_code, single_code)
+        else:
+            # split at value boundaries into ~TILE_BYTES slices
+            cuts = [0]
+            while cuts[-1] < n_vals:
+                nxt = int(np.searchsorted(offs, offs[cuts[-1]] + self.TILE_BYTES))
+                cuts.append(min(max(nxt, cuts[-1] + 1), n_vals))
+            outs, lens_parts = [], []
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                t_offs = offs[a : b + 1] - offs[a]
+                t_blob = blob[offs[a] : offs[b]]
+                o, cl = self._compress_with_boundaries(t_blob, t_offs, pair_code, single_code)
+                outs.append(o)
+                lens_parts.append(cl)
+            out = np.concatenate(outs)
+            comp_lens = np.concatenate(lens_parts)
         clens_pay, _ = varint.encode(comp_lens.astype(np.uint64))
         return (
             pack_sections([pair_syms.astype(">u2").tobytes(), single_syms.tobytes(), clens_pay, out.tobytes()]),
@@ -286,7 +308,29 @@ class FsstStr:
         pair_syms = np.frombuffer(table_pairs, dtype=">u2").astype(np.uint16)
         single_syms = np.frombuffer(table_singles, dtype=np.uint8)
         comp_lens = varint.decode(clens_pay, count=n, width=64).astype(np.int64)
-        codes = np.frombuffer(blob_b, dtype=np.uint8)
+        codes_all = np.frombuffer(blob_b, dtype=np.uint8)
+
+        if codes_all.size > self.TILE_BYTES and n >= 2:
+            # cache-blocked decode: tile at value boundaries (escape state
+            # never crosses values — escapes are within-value)
+            comp_offs_all = np.concatenate([[0], np.cumsum(comp_lens)])
+            cuts = [0]
+            while cuts[-1] < n:
+                nxt = int(np.searchsorted(comp_offs_all, comp_offs_all[cuts[-1]] + self.TILE_BYTES))
+                cuts.append(min(max(nxt, cuts[-1] + 1), n))
+            blobs, offs_parts, base = [], [], 0
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                t_blob, t_offs = self._decode_block(
+                    codes_all[comp_offs_all[a] : comp_offs_all[b]],
+                    comp_lens[a:b], b - a, pair_syms, single_syms, P, S,
+                )
+                blobs.append(t_blob)
+                offs_parts.append(t_offs[1:] + base)
+                base += int(t_offs[-1])
+            return np.concatenate(blobs), np.concatenate([[0], *offs_parts]).astype(np.int64)
+        return self._decode_block(codes_all, comp_lens, n, pair_syms, single_syms, P, S)
+
+    def _decode_block(self, codes, comp_lens, n, pair_syms, single_syms, P, S) -> BO:
 
         sym_first = np.empty(256, dtype=np.uint8)
         sym_second = np.zeros(256, dtype=np.uint8)

@@ -172,13 +172,21 @@ def encode_table(
     )
 
 
-def decode_table(enc: DataFrame) -> DataFrame:
-    """Inverse of :func:`encode_table`: encoded chunks -> original rows.
-
-    Self-describing (schema from the dtype tags); one groupBy on chunk_id."""
-    meta = (
+def column_meta(enc: DataFrame) -> list:
+    """(col_idx, column, dtype) rows describing an encoded table — one tiny
+    planning job; pass to decode_table to avoid re-running it."""
+    return (
         enc.select("col_idx", "column", "dtype").distinct().orderBy("col_idx").collect()
     )
+
+
+def decode_table(enc: DataFrame, meta: list | None = None) -> DataFrame:
+    """Inverse of :func:`encode_table`: encoded chunks -> original rows.
+
+    Self-describing (schema from the dtype tags); one groupBy on chunk_id.
+    ``meta``: precomputed :func:`column_meta` (skips the planning job)."""
+    if meta is None:
+        meta = column_meta(enc)
     columns = [r["column"] for r in meta]
     tags = {r["column"]: r["dtype"] for r in meta}
     out_schema = T.StructType(
@@ -219,6 +227,77 @@ def decode_table(enc: DataFrame) -> DataFrame:
         return pa.table(out, schema=arrow_out)
 
     return enc.groupBy("chunk_id").applyInArrow(decode_chunk, schema=out_schema)
+
+
+def decode_table_colocated(enc: DataFrame, meta: list | None = None) -> DataFrame:
+    """Shuffle-FREE decode for chunk-partitioned encoded tables.
+
+    :func:`decode_table` groups by chunk_id (one shuffle).  When the input
+    is an :class:`EncodedStore` read (written ``partitionBy(chunk_id)``, one
+    parquet file of ~12 rows per chunk, never split across scan partitions),
+    all rows of a chunk already arrive in the same task — so decode is a
+    pure ``mapInArrow`` over the scan: zero exchanges.  This is the 100 TB
+    read path: decode throughput scales with scan parallelism only.
+    """
+    if meta is None:
+        meta = column_meta(enc)
+    columns = [r["column"] for r in meta]
+    tags = {r["column"]: r["dtype"] for r in meta}
+
+    def spark_arrow_type(tag: str) -> pa.DataType:
+        if tag == "str":
+            return pa.string()
+        if tag == "bin":
+            return pa.binary()
+        if tag == "ts_us":
+            return pa.timestamp("us", tz="UTC")
+        return tag_to_arrow(tag)
+
+    out_schema = T.StructType(
+        [T.StructField("__chunk", T.LongType())]
+        + [T.StructField(c, _TAG_TO_SPARK[tags[c]]) for c in columns]
+    )
+    arrow_out = pa.schema(
+        [("__chunk", pa.int64())] + [(c, spark_arrow_type(tags[c])) for c in columns]
+    )
+
+    def fn(batches):
+        pending: dict[int, dict] = {}
+        counts: dict[int, int] = {}
+
+        def flush(chunk_id: int):
+            cols = pending.pop(chunk_id)
+            n = counts.pop(chunk_id)
+            out = {"__chunk": pa.array(np.full(n, chunk_id, dtype=np.int64))}
+            for c in columns:
+                codec, payload, params = cols[c]
+                out[c] = decode_column_arrow(tags[c], codec, payload, params, n).cast(
+                    arrow_out.field(c).type
+                )
+            return pa.RecordBatch.from_arrays(list(out.values()), schema=arrow_out)
+
+        for batch in batches:
+            d = batch.to_pylist()  # ~12 tiny metadata rows per chunk
+            for row in d:
+                cid = row["chunk_id"]
+                pending.setdefault(cid, {})[row["column"]] = (
+                    row["codec"],
+                    row["payload"],
+                    json.loads(row["params"]),
+                )
+                counts[cid] = row["n_values"]
+                if len(pending[cid]) == len(columns):
+                    yield flush(cid)
+        # chunks missing columns at end-of-partition indicate a layout that
+        # split a chunk across partitions — decode_table (shuffled) handles
+        # those; here it is a hard error to avoid silent data loss
+        if pending:
+            raise RuntimeError(
+                f"chunks {sorted(pending)} not fully co-located in one scan "
+                "partition; use decode_table() instead"
+            )
+
+    return enc.mapInArrow(fn, schema=out_schema)
 
 
 def chunk_metrics(enc: DataFrame) -> DataFrame:

@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill on tmpfs when available (local stand-in for the NVMe
+    # shuffle volumes of a real cluster); override with SPARK_LOCAL_DIRS
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        b = b.config("spark.local.dir", "/dev/shm/vss-spark-local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
