@@ -137,7 +137,7 @@ def decode_column_arrow(tag: str, codec: str, payload: bytes, params: dict, n: i
 
     if tag in STR_TAGS:
         bo = STR_CODECS[codec].decode_bo(payload, params, n)
-        out = bo_to_arrow(bo, binary=(tag == "bin"))
+        out = bo_to_arrow(bo, binary=(tag == "bin"), small=True)
     else:
         v = INT_CODECS[codec].decode(payload, params, n)
         out = int64_to_arrow(v, tag)

@@ -46,18 +46,22 @@ def arrow_to_bo(arr: pa.Array) -> BO:
     return blob, offs.astype(np.int64, copy=False)
 
 
-def bo_to_arrow(bo: BO, binary: bool = False) -> pa.Array:
+def bo_to_arrow(bo: BO, binary: bool = False, small: bool = False) -> pa.Array:
+    """(blob, offs) -> Arrow array.  ``small=True`` emits 32-bit-offset
+    string/binary directly when the blob fits (< 2 GiB) — Spark's expected
+    type, avoiding a later cast copy."""
     blob, offs = bo
     n = len(offs) - 1
-    typ = pa.large_binary() if binary else pa.large_string()
+    if small and (offs.size == 0 or offs[-1] < (1 << 31)):
+        typ = pa.binary() if binary else pa.string()
+        off_buf = pa.py_buffer(np.ascontiguousarray(offs, dtype=np.int32).tobytes())
+    else:
+        typ = pa.large_binary() if binary else pa.large_string()
+        off_buf = pa.py_buffer(np.ascontiguousarray(offs).tobytes())
     return pa.Array.from_buffers(
         typ,
         n,
-        [
-            None,
-            pa.py_buffer(np.ascontiguousarray(offs).tobytes()),
-            pa.py_buffer(np.ascontiguousarray(blob).tobytes()),
-        ],
+        [None, off_buf, pa.py_buffer(np.ascontiguousarray(blob).tobytes())],
     )
 
 
