@@ -79,7 +79,8 @@ def choose_str_codec_bo(blob: np.ndarray, offs: np.ndarray) -> tuple[str, str, d
         "raw_str": total + n,
         "dict_str": uniq_bytes + n_distinct + idx_bytes,
         "rle_str": runs * (avg_len + 2) + runs,
-        "fsst": total * digram_ratio + n + 512,
+        # fsst applies up to two digram rounds => ratio compounds
+        "fsst": total * max(0.25, digram_ratio**2) + n + 1024,
     }
     if n_distinct > 0.5 * n:
         est.pop("dict_str", None)

@@ -214,8 +214,8 @@ class FsstStr:
     # DRAM (cache blocking — big effect on multi-core scaling)
     TILE_BYTES = 1 << 18
 
-    def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
-        blob, offs = bo
+    def _encode_layer(self, blob: np.ndarray, offs: np.ndarray):
+        """One digram-coding layer.  -> (pair_syms, single_syms, out, comp_lens)."""
         pair_syms, single_syms = self._train(blob)
         P, S = len(pair_syms), len(single_syms)
         pair_code = np.full(65536, -1, dtype=np.int16)
@@ -241,10 +241,45 @@ class FsstStr:
                 lens_parts.append(cl)
             out = np.concatenate(outs)
             comp_lens = np.concatenate(lens_parts)
+        return pair_syms, single_syms, out, comp_lens
+
+    def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
+        blob, offs = bo
+        p1, s1, out, comp_lens = self._encode_layer(blob, offs)
+        rounds = 1
+        p2 = np.zeros(0, dtype=np.uint16)
+        s2 = np.zeros(0, dtype=np.uint8)
+        if out.size > 4096:
+            # second layer = digram coding over the first layer's codes
+            # (effective 3-4 byte source symbols, Re-Pair style); kept only
+            # if it actually pays for its table
+            offs2 = np.empty(comp_lens.size + 1, dtype=np.int64)
+            offs2[0] = 0
+            np.cumsum(comp_lens, out=offs2[1:])
+            p2_, s2_, out2, comp_lens2 = self._encode_layer(out, offs2)
+            if out2.size + 2 * len(p2_) + len(s2_) < 0.97 * out.size:
+                rounds = 2
+                p2, s2 = p2_, s2_
+                out, comp_lens = out2, comp_lens2
         clens_pay, _ = varint.encode(comp_lens.astype(np.uint64))
         return (
-            pack_sections([pair_syms.astype(">u2").tobytes(), single_syms.tobytes(), clens_pay, out.tobytes()]),
-            {"pairs": str(P), "singles": str(S)},
+            pack_sections(
+                [
+                    p1.astype(">u2").tobytes(),
+                    s1.tobytes(),
+                    clens_pay,
+                    out.tobytes(),
+                    p2.astype(">u2").tobytes(),
+                    s2.tobytes(),
+                ]
+            ),
+            {
+                "pairs": str(len(p1)),
+                "singles": str(len(s1)),
+                "rounds": str(rounds),
+                "pairs2": str(len(p2)),
+                "singles2": str(len(s2)),
+            },
         )
 
     def _compress_with_boundaries(self, blob, offs, pair_code, single_code):
@@ -305,14 +340,26 @@ class FsstStr:
         return out, comp_lens.astype(np.int64)
 
     def decode_bo(self, payload: bytes, params: dict, n: int) -> BO:
-        P, S = int(params["pairs"]), int(params["singles"])
-        table_pairs, table_singles, clens_pay, blob_b = unpack_sections(payload)
+        sections = unpack_sections(payload)
+        table_p1, table_s1, clens_pay, blob_b = sections[:4]
         if n == 0:
             return np.zeros(0, np.uint8), np.zeros(1, np.int64)
-        pair_syms = np.frombuffer(table_pairs, dtype=">u2").astype(np.uint16)
-        single_syms = np.frombuffer(table_singles, dtype=np.uint8)
         comp_lens = varint.decode(clens_pay, count=n, width=64).astype(np.int64)
-        codes_all = np.frombuffer(blob_b, dtype=np.uint8)
+        codes = np.frombuffer(blob_b, dtype=np.uint8)
+        if int(params.get("rounds", "1")) == 2:
+            p2 = np.frombuffer(sections[4], dtype=">u2").astype(np.uint16)
+            s2 = np.frombuffer(sections[5], dtype=np.uint8)
+            codes, mid_offs = self._decode_layer(codes, comp_lens, p2, s2)
+            comp_lens = np.diff(mid_offs)
+        p1 = np.frombuffer(table_p1, dtype=">u2").astype(np.uint16)
+        s1 = np.frombuffer(table_s1, dtype=np.uint8)
+        return self._decode_layer(codes, comp_lens, p1, s1)
+
+    def _decode_layer(
+        self, codes_all: np.ndarray, comp_lens: np.ndarray, pair_syms: np.ndarray, single_syms: np.ndarray
+    ) -> BO:
+        P, S = len(pair_syms), len(single_syms)
+        n = comp_lens.size
 
         if codes_all.size > self.TILE_BYTES and n >= 2:
             # cache-blocked decode: tile at value boundaries (escape state
