@@ -118,7 +118,7 @@ def test_nulls_roundtrip_int():
 def test_choose_picks_sensible():
     ts = pd.Series(np.cumsum(rng.integers(0, 120, 5000)).astype("datetime64[us]"))
     codec, _, _ = choose_codec(ts)
-    assert codec in ("delta_zz_varint", "for_bitpack")
+    assert codec in ("delta_zz_varint", "delta_zz_bitpack", "for_bitpack")
     lang = pd.Series(["en"] * 900 + ["de"] * 100, dtype=object)
     codec, _, _ = choose_codec(lang)
     assert codec in ("rle_str", "dict_str")

@@ -119,3 +119,38 @@ def test_decode_colocated_matches_shuffled(web_pages, spark, tmp_path):
     assert n_data_exchanges(dfb) == n_data_exchanges(shuffled) - 1
     b = dfb.drop("__chunk").toPandas().sort_values("url", ignore_index=True)
     assert (a["text"] == b["text"]).all() and len(a) == len(b)
+
+
+def test_snapshot_scoped_read(web_pages, spark, tmp_path):
+    """Manifest snapshots gate chunk membership: reading as-of the first
+    snapshot excludes chunks committed later."""
+    from pyspark.sql import functions as F
+
+    store = EncodedStore(spark, str(tmp_path / "store4"))
+    snap1, _ = encode_resumable(store, web_pages, key="url", n_chunks=6)
+
+    # simulate losing 2 chunks, then a second snapshot recommits them
+    m = store.manifest()
+    kept = m.filter(~F.col("chunk_id").isin([0, 1]))
+    kept.write.mode("overwrite").parquet(str(tmp_path / "mkeep"))
+    spark.read.parquet(str(tmp_path / "mkeep")).write.mode("overwrite").parquet(store.manifest_path)
+    snap2, n2 = encode_resumable(store, web_pages, key="url", n_chunks=6)
+    assert snap2 is not None and n2 == 2
+
+    chunks1 = {
+        r["chunk_id"]
+        for r in store.read_encoded(as_of_snapshot=snap1)
+        .select("chunk_id").distinct().collect()
+    }
+    chunks2 = {
+        r["chunk_id"]
+        for r in store.read_encoded(as_of_snapshot=snap2)
+        .select("chunk_id").distinct().collect()
+    }
+    assert chunks1 == {2, 3, 4, 5}  # snap1's surviving membership
+    assert chunks2 == {0, 1, 2, 3, 4, 5}  # full set as of the recommit
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        store.read_encoded(as_of_snapshot="nope")

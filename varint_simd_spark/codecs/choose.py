@@ -31,8 +31,10 @@ def _int_candidate_sizes(v: np.ndarray) -> dict[str, int]:
     sizes["varint"] = int(varint.varint_len(v.view(np.uint64)).sum())
     sizes["varint_zz"] = int(varint.varint_len(zigzag(v)).sum())
     if n > 1:
-        deltas = np.diff(v)
-        sizes["delta_zz_varint"] = int(varint.varint_len(zigzag(deltas)).sum()) + 10
+        zz_deltas = zigzag(np.diff(v))
+        sizes["delta_zz_varint"] = int(varint.varint_len(zz_deltas).sum()) + 10
+        dbits = max(1, int(zz_deltas.max()).bit_length()) if zz_deltas.size else 1
+        sizes["delta_zz_bitpack"] = ((n - 1) * dbits + 7) // 8 + 24
     base = int(v.min())
     hi = int((v - base).view(np.uint64).max())
     bits = max(1, hi.bit_length())

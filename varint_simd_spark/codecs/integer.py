@@ -111,6 +111,43 @@ class DeltaZigZagVarint:
         return out
 
 
+class DeltaZigZagBitpack:
+    """Delta + ZigZag + fixed-width bit-packing: for near-sorted columns
+    with bounded jitter (timestamps with a regular cadence) the zigzag
+    deltas fit a small fixed width, beating varint's per-value 7-bit
+    rounding."""
+
+    name = "delta_zz_bitpack"
+
+    def encode(self, arr: np.ndarray) -> tuple[bytes, dict]:
+        v = _to_i64(arr)
+        if v.size == 0:
+            return b"", {"first": "0", "bits": "0"}
+        zz = zigzag(np.diff(v))
+        hi = int(zz.max()) if zz.size else 0
+        bits = max(1, hi.bit_length())
+        be = zz.astype(">u8").view(np.uint8).reshape(-1, 8)
+        packed = np.packbits(np.unpackbits(be, axis=1)[:, 64 - bits :])
+        return packed.tobytes(), {"first": str(int(v[0])), "bits": str(bits)}
+
+    def decode(self, payload: bytes, params: dict, n: int) -> np.ndarray:
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        out = np.empty(n, dtype=np.int64)
+        out[0] = int(params["first"])
+        if n == 1:
+            return out
+        bits = int(params["bits"])
+        raw = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))[: (n - 1) * bits]
+        full = np.zeros((n - 1, 64), dtype=np.uint8)
+        full[:, 64 - bits :] = raw.reshape(n - 1, bits)
+        zz = np.packbits(full, axis=1).view(">u8").ravel().astype(np.uint64)
+        deltas = unzigzag(zz)
+        np.cumsum(deltas.view(np.uint64), out=out[1:].view(np.uint64))
+        out[1:] += out[0]
+        return out
+
+
 class ForBitpack:
     """Frame-of-reference + fixed-width bit-packing: residuals v - min(v)
     packed at ceil(log2(range+1)) bits."""
@@ -184,7 +221,15 @@ class Raw64:
 
 INT_CODECS = {
     c.name: c
-    for c in [VarintU64(), VarintZigZag(), DeltaZigZagVarint(), ForBitpack(), RleVarint(), Raw64()]
+    for c in [
+        VarintU64(),
+        VarintZigZag(),
+        DeltaZigZagVarint(),
+        DeltaZigZagBitpack(),
+        ForBitpack(),
+        RleVarint(),
+        Raw64(),
+    ]
 }
 
 

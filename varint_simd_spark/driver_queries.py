@@ -63,6 +63,14 @@ def q_delta_zz_roundtrip_events_ts(spark, sf_dir):
     )
 
 
+def q_delta_bitpack_roundtrip_events(spark, sf_dir):
+    return _roundtrip(
+        spark, sf_dir, "events", "event_id",
+        ["event_id", "ts"],
+        codecs={"event_id": "delta_zz_bitpack", "ts": "delta_zz_bitpack"},
+    )
+
+
 def q_for_bitpack_roundtrip_lineitem(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "lineitem", "l_orderkey",
@@ -144,6 +152,33 @@ def q_zigzag_native_orders(spark, sf_dir):
     return df.select("o_orderkey", n.alias("n"), zz.alias("zz"))
 
 
+def q_nulls_roundtrip_events(spark, sf_dir):
+    """Null handling through the validity-bitmap path: derive a nullable
+    column, encode -> decode, nulls must survive exactly."""
+    df = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") > 0.5, F.col("value")).alias("v_nullable"),
+        F.when(F.col("user_id") % 7 != 0, F.col("event_type")).alias("t_nullable"),
+    )
+    enc = encode_table(df, key="event_id", n_chunks=8)
+    return decode_table(enc).select("event_id", "v_nullable", "t_nullable")
+
+
+def q_props_roundtrip_events(spark, sf_dir):
+    """JSON-ish props strings through the auto-chosen string codec."""
+    return _roundtrip(spark, sf_dir, "events", "event_id", ["event_id", "props"])
+
+
+def q_codec_size_rollup(spark, sf_dir):
+    """Grouping-sets/rollup row of SURVEY §2.2: varint byte totals rolled
+    up over (o_orderpriority, o_orderstatus)."""
+    df = _read(spark, sf_dir, "orders")
+    return (
+        df.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.sum(varint_len_col("o_custkey")).alias("varint_bytes"))
+    )
+
+
 def q_delta_lag_native_events(spark, sf_dir):
     """Delta encoding at the DataFrame level: F.lag window (SURVEY §2.2
     window-functions row) — the shuffle-based alternative to the in-kernel
@@ -187,6 +222,7 @@ QUERIES = {
     "varint_roundtrip_orders_keys": q_varint_roundtrip_orders_keys,
     "varint_zz_roundtrip_events_value": q_varint_zz_roundtrip_events_value,
     "delta_zz_roundtrip_events_ts": q_delta_zz_roundtrip_events_ts,
+    "delta_bitpack_roundtrip_events": q_delta_bitpack_roundtrip_events,
     "for_bitpack_roundtrip_lineitem": q_for_bitpack_roundtrip_lineitem,
     "rle_roundtrip_lineitem_flags": q_rle_roundtrip_lineitem_flags,
     "dict_roundtrip_documents": q_dict_roundtrip_documents,
@@ -196,6 +232,9 @@ QUERIES = {
     "zigzag_native_orders": q_zigzag_native_orders,
     "delta_lag_native_events": q_delta_lag_native_events,
     "top_sources_documents": q_top_sources_documents,
+    "nulls_roundtrip_events": q_nulls_roundtrip_events,
+    "props_roundtrip_events": q_props_roundtrip_events,
+    "codec_size_rollup": q_codec_size_rollup,
     "compression_metrics_lineitem": q_compression_metrics_lineitem,
     **PIPELINE_QUERIES,
 }
@@ -208,6 +247,7 @@ ORACLES = {
     "varint_roundtrip_orders_keys": "SELECT o_orderkey, o_custkey FROM orders",
     "varint_zz_roundtrip_events_value": "SELECT event_id, user_id, value FROM events",
     "delta_zz_roundtrip_events_ts": "SELECT event_id, ts FROM events",
+    "delta_bitpack_roundtrip_events": "SELECT event_id, ts FROM events",
     "for_bitpack_roundtrip_lineitem": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "rle_roundtrip_lineitem_flags": "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem",
     "dict_roundtrip_documents": "SELECT doc_id, lang, source FROM documents",
@@ -230,6 +270,16 @@ ORACLES = {
     "top_sources_documents": (
         "SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars "
         "FROM documents GROUP BY source ORDER BY n DESC, source LIMIT 5"
+    ),
+    "nulls_roundtrip_events": (
+        "SELECT event_id, CASE WHEN value > 0.5 THEN value END AS v_nullable, "
+        "CASE WHEN user_id % 7 != 0 THEN event_type END AS t_nullable FROM events"
+    ),
+    "props_roundtrip_events": "SELECT event_id, props FROM events",
+    "codec_size_rollup": (
+        "SELECT o_orderpriority, o_orderstatus, "
+        f"CAST(SUM({_VLEN_CASE_CUST}) AS BIGINT) AS varint_bytes "
+        "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
     ),
     # compression_metrics_lineitem: engine-internal — rows-only check
     **PIPELINE_ORACLES,

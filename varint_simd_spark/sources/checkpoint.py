@@ -89,12 +89,32 @@ class EncodedStore:
         lineage.write.mode("append").parquet(self.manifest_path)
         return snapshot_id
 
-    def read_encoded(self) -> DataFrame:
-        """Committed encoded chunks only (manifest-gated read)."""
+    def read_encoded(self, as_of_snapshot: str | None = None) -> DataFrame:
+        """Committed encoded chunks only (manifest-gated read).
+
+        ``as_of_snapshot``: restrict to the chunk set committed at or
+        before that snapshot (membership time travel — the manifest is the
+        snapshot log).  Chunk *content* history is not retained by the
+        parquet backend (dynamic overwrite replaces files); full
+        content-level time travel is what the Iceberg backend adds."""
         enc = self.spark.read.parquet(self.enc_path)
-        return enc.join(
-            F.broadcast(self.committed_chunks()), on="chunk_id", how="left_semi"
-        )
+        committed = self.manifest() if as_of_snapshot is not None else None
+        if as_of_snapshot is not None:
+            cutoff = (
+                committed.filter(F.col("snapshot_id") == as_of_snapshot)
+                .agg(F.max("committed_at"))
+                .collect()[0][0]
+            )
+            if cutoff is None:
+                raise ValueError(f"unknown snapshot {as_of_snapshot!r}")
+            chunks = (
+                committed.filter(F.col("committed_at") <= cutoff)
+                .select("chunk_id")
+                .distinct()
+            )
+        else:
+            chunks = self.committed_chunks()
+        return enc.join(F.broadcast(chunks), on="chunk_id", how="left_semi")
 
 
 def encode_resumable(
