@@ -154,3 +154,16 @@ def test_snapshot_scoped_read(web_pages, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown snapshot"):
         store.read_encoded(as_of_snapshot="nope")
+
+
+def test_empty_chunks_commit_liveness(spark, tmp_path):
+    """Chunks that receive no rows still get zero-row manifest entries, so
+    resume converges instead of re-planning them forever."""
+    from varint_simd_spark.sources.web_pages import generate_web_pages
+
+    tiny = generate_web_pages(spark, 100, seed=42).limit(3)
+    store = EncodedStore(spark, str(tmp_path / "store5"))
+    _, n1 = encode_resumable(store, tiny, key="url", n_chunks=8)
+    _, n2 = encode_resumable(store, tiny, key="url", n_chunks=8)
+    assert n1 == 8 and n2 == 0
+    assert decode_table(store.read_encoded()).count() == 3

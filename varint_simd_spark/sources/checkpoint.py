@@ -60,12 +60,16 @@ class EncodedStore:
 
     # -- commit -------------------------------------------------------------
 
-    def commit(self, enc: DataFrame) -> str:
+    def commit(self, enc: DataFrame, expected_chunks: list[int] | None = None) -> str:
         """Write encoded chunks, then commit them to the manifest.
 
         Data files first (dynamic overwrite of touched chunk partitions),
         manifest append second — a crash in between leaves orphan data
-        files that the next resume simply overwrites."""
+        files that the next resume simply overwrites.
+
+        ``expected_chunks``: chunk ids this run planned; ids that produced
+        NO rows (empty chunks) still get a zero-row manifest entry so
+        resume does not re-plan them forever."""
         snapshot_id = uuid.uuid4().hex[:16]
         (
             enc.repartition("chunk_id")
@@ -75,16 +79,21 @@ class EncodedStore:
             .parquet(self.enc_path)
         )
         written = self.spark.read.parquet(self.enc_path)
-        lineage = (
-            written.groupBy("chunk_id")
-            .agg(
-                F.sum("n_values").alias("n_values"),
-                F.sum("raw_bytes").alias("raw_bytes"),
-                F.sum("enc_bytes").alias("enc_bytes"),
-                F.count("*").alias("n_columns"),
+        lineage = written.groupBy("chunk_id").agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.count("*").alias("n_columns"),
+        )
+        if expected_chunks is not None:
+            planned = self.spark.createDataFrame(
+                [(int(c),) for c in expected_chunks], "chunk_id long"
             )
-            .withColumn("snapshot_id", F.lit(snapshot_id))
-            .withColumn("committed_at", F.lit(time.time()))
+            lineage = planned.join(lineage, "chunk_id", "left").fillna(
+                0, subset=["n_values", "raw_bytes", "enc_bytes", "n_columns"]
+            )
+        lineage = lineage.withColumn("snapshot_id", F.lit(snapshot_id)).withColumn(
+            "committed_at", F.lit(time.time())
         )
         lineage.write.mode("append").parquet(self.manifest_path)
         return snapshot_id
@@ -155,5 +164,5 @@ def encode_resumable(
         .groupBy("__chunk")
         .applyInArrow(fn, schema=ENCODED_SCHEMA)
     )
-    snapshot_id = store.commit(enc)
+    snapshot_id = store.commit(enc, expected_chunks=pending)
     return snapshot_id, len(pending)
