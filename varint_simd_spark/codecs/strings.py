@@ -324,9 +324,10 @@ class FsstStr:
         cost[is_pair_start] = 1
         cost[single] = 1
         cost[esc] = 2
-        out_offs = np.empty(nb + 1, dtype=np.int64)
+        # int32 offsets are safe: tiles are <= TILE_BYTES << 2^31
+        out_offs = np.empty(nb + 1, dtype=np.int32 if nb < (1 << 30) else np.int64)
         out_offs[0] = 0
-        np.cumsum(cost, dtype=np.int64, out=out_offs[1:])
+        np.cumsum(cost, dtype=out_offs.dtype, out=out_offs[1:])
         out = np.empty(int(out_offs[-1]), dtype=np.uint8)
         out[out_offs[sel_pos]] = pair_code[pairs[sel_pos]].astype(np.uint8)
         single_idx = np.flatnonzero(single)
