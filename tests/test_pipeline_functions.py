@@ -125,3 +125,34 @@ def test_multimodal_plumbing(spark):
     assert all(len(f) == FEATURE_DIM for f in feats["features"])
     s = np.array([np.sum(f) for f in feats["features"]])
     np.testing.assert_allclose(s, 1.0, rtol=1e-5)  # histogram normalized
+
+
+def test_minhash_arrow_matches_recall(spark, seeded_dups, docs):
+    """The Arrow-batched minhash (scale path) must find the seeded
+    near-duplicates like the expression path."""
+    from varint_simd_spark.functions.minhash_arrow import minhash_lsh_pairs_arrow
+
+    pairs = minhash_lsh_pairs_arrow(
+        seeded_dups, "doc_id", "text", jaccard_threshold=0.4
+    ).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    hit = sum((i, i + 10_000) in found for i in ids)
+    assert hit >= 0.9 * len(ids), f"arrow minhash recall {hit}/{len(ids)}"
+
+
+def test_minhash_arrow_shingle_hash_properties():
+    """Rolling-hash invariants: same k-gram -> same hash regardless of
+    position/document; different k-grams (almost surely) differ."""
+    import numpy as np
+
+    from varint_simd_spark.functions.minhash_arrow import _shingle_hashes
+
+    blob = np.frombuffer(b"abcdefghXXabcdefgh", dtype=np.uint8)
+    offs = np.array([0, 10, 18], dtype=np.int64)  # "abcdefghXX", "abcdefgh"
+    h, starts = _shingle_hashes(blob, offs, k=8)
+    assert starts.tolist() == [0, 3]
+    # doc0 window 0 is "abcdefgh" == doc1's only window
+    assert h[0] == h[3]
+    # shifted windows differ
+    assert h[0] != h[1] and h[1] != h[2]

@@ -237,3 +237,19 @@ def test_property_zigzag_roundtrip(vals):
     payload, _ = encode(zigzag(n))
     back = unzigzag(decode(payload, count=len(vals), width=64))
     assert back.tolist() == vals
+
+
+def test_exhaustive_8x_u8_cross_product():
+    """The reference's check_decode_8x_u8 (src/lib.rs:751-841): all 5^8 =
+    390,625 8-tuples over NUMS_U8, vectorized — every tuple's 8 adjacent
+    varints concatenated into one stream, decoded once, compared."""
+    vals = np.array(NUMS_U8, dtype=np.uint64)
+    grids = np.meshgrid(*([vals] * 8), indexing="ij")
+    tuples = np.stack([g.ravel() for g in grids], axis=1)  # (390625, 8)
+    flat = tuples.ravel()
+    payload, lens = encode(flat)
+    out = decode(payload, count=flat.size, width=8)
+    np.testing.assert_array_equal(out.reshape(-1, 8), tuples)
+    # per-value lengths match the scalar rule
+    expect_lens = np.where(flat >= 128, 2, 1)
+    np.testing.assert_array_equal(lens, expect_lens)

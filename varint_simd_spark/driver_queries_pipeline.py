@@ -98,6 +98,20 @@ def q_minhash_lsh_dups(spark, sf_dir):
     return minhash_lsh_pairs(seeded, "doc_id", "text", jaccard_threshold=0.5)
 
 
+def q_minhash_lsh_dups_arrow(spark, sf_dir):
+    """Arrow-batched minhash (the 100 TB path) over the same seeded input."""
+    from .functions.minhash_arrow import minhash_lsh_pairs_arrow
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", "text").unionAll(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    return minhash_lsh_pairs_arrow(seeded, "doc_id", "text", jaccard_threshold=0.5)
+
+
 def q_simhash_near_dups(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     seeded = docs.select("doc_id", "text").unionAll(
@@ -151,6 +165,7 @@ PIPELINE_QUERIES = {
     "cosine_topk_embeddings": q_cosine_topk,
     "cosine_dup_pairs_embeddings": q_cosine_dup_pairs,
     "minhash_lsh_dups_documents": q_minhash_lsh_dups,
+    "minhash_lsh_dups_arrow_documents": q_minhash_lsh_dups_arrow,
     "simhash_near_dups_documents": q_simhash_near_dups,
     "simhash_fingerprints_documents": q_simhash_fingerprints,
     "doc_fingerprints_documents": q_doc_fingerprints,
