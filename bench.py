@@ -32,7 +32,11 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from varint_simd_spark.operators import decode_table, encode_table
+    from varint_simd_spark.operators import (
+        column_meta,
+        decode_table_colocated,
+        encode_table,
+    )
     from varint_simd_spark.sources.session import get_spark
     from varint_simd_spark.sources.web_pages import generate_web_pages
 
@@ -64,9 +68,11 @@ def main() -> None:
     ).collect()[0][0]
 
     timed("encode_web_pages", lambda: encode_table(wp, key="url", n_chunks=n_chunks)
-          .write.mode("overwrite").parquet(f"{tmp}/wp_enc"))
+          .repartition("chunk_id").write.partitionBy("chunk_id")
+          .mode("overwrite").parquet(f"{tmp}/wp_enc"))
     enc_wp = spark.read.parquet(f"{tmp}/wp_enc")
-    timed("decode_web_pages", lambda: decode_table(enc_wp)
+    meta_wp = column_meta(enc_wp)
+    timed("decode_web_pages", lambda: decode_table_colocated(enc_wp, meta=meta_wp)
           .agg(F.sum(F.length("text"))).collect())
     bytes_processed["encode_web_pages"] = raw_wp
     bytes_processed["decode_web_pages"] = raw_wp
@@ -75,9 +81,11 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     raw_li = li.count() * 8 * len(li.columns)  # int64-equivalent raw bytes
     timed("encode_lineitem", lambda: encode_table(li, key="l_orderkey", n_chunks=n_chunks)
-          .write.mode("overwrite").parquet(f"{tmp}/li_enc"))
+          .repartition("chunk_id").write.partitionBy("chunk_id")
+          .mode("overwrite").parquet(f"{tmp}/li_enc"))
     enc_li = spark.read.parquet(f"{tmp}/li_enc")
-    timed("decode_lineitem", lambda: decode_table(enc_li)
+    meta_li = column_meta(enc_li)
+    timed("decode_lineitem", lambda: decode_table_colocated(enc_li, meta=meta_li)
           .agg(F.sum("l_orderkey")).collect())
     bytes_processed["encode_lineitem"] = raw_li
     bytes_processed["decode_lineitem"] = raw_li
