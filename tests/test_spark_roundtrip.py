@@ -124,3 +124,23 @@ def test_filter_pushdown_reaches_scan(spark):
     )
     plan = enc._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,1000)]" in plan, plan
+
+
+def test_payload_corruption_detected(spark, tmp_path):
+    """A flipped payload byte must fail decode loudly (CRC gate), not
+    produce silently wrong data."""
+    import pyspark
+
+    from varint_simd_spark.sources.web_pages import generate_web_pages
+
+    wp = generate_web_pages(spark, 300, seed=42)
+    enc = encode_table(wp, key="url", n_chunks=2)
+    pdf = enc.toPandas()
+    target = pdf.index[pdf["column"] == "text"][0]
+    payload = bytearray(pdf.at[target, "payload"])
+    payload[len(payload) // 2] ^= 0xFF
+    pdf.at[target, "payload"] = bytes(payload)
+    corrupted = spark.createDataFrame(pdf, schema=encode_table(wp, key="url", n_chunks=2).schema)
+    with pytest.raises(Exception, match="corruption|PythonException") as ei:
+        decode_table(corrupted).count()
+    assert "payload corruption" in str(ei.value)

@@ -21,6 +21,7 @@ Scale notes (designed for ~100 TB / 1000 executors, tested on local[32]):
 from __future__ import annotations
 
 import json
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -55,6 +56,7 @@ ENCODED_SCHEMA = T.StructType(
         T.StructField("raw_bytes", T.LongType()),
         T.StructField("ref_bytes", T.LongType()),
         T.StructField("enc_bytes", T.LongType()),
+        T.StructField("crc32", T.LongType()),
         T.StructField("reason", T.StringType()),
     ]
 )
@@ -72,6 +74,7 @@ _ENC_ARROW = pa.schema(
         ("raw_bytes", pa.int64()),
         ("ref_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
+        ("crc32", pa.int64()),
         ("reason", pa.string()),
     ]
 )
@@ -136,6 +139,7 @@ def make_encode_chunk_fn(columns: list[str], codecs: dict[str, str], sort_key: s
             cols["raw_bytes"].append(raw_b)
             cols["ref_bytes"].append(ref_b)
             cols["enc_bytes"].append(len(payload))
+            cols["crc32"].append(zlib.crc32(payload))
             cols["reason"].append(reason)
         return pa.table(cols, schema=_ENC_ARROW)
 
@@ -216,7 +220,13 @@ def decode_table(enc: DataFrame, meta: list | None = None) -> DataFrame:
         codec_col = table["codec"].to_pylist()
         col_col = table["column"].to_pylist()
         payload_col = table["payload"].to_pylist()
+        crc_col = table["crc32"].to_pylist() if "crc32" in table.column_names else [None] * len(col_col)
         for i, name in enumerate(col_col):
+            if crc_col[i] is not None and zlib.crc32(payload_col[i]) != crc_col[i]:
+                raise IOError(
+                    f"payload corruption: chunk {chunk_id} column {name!r} "
+                    f"crc mismatch (stored {crc_col[i]})"
+                )
             by_col[name] = (codec_col[i], payload_col[i], json.loads(params_col[i]))
         out = {"__chunk": pa.array(np.full(n, chunk_id, dtype=np.int64))}
         for col in columns:
@@ -280,6 +290,10 @@ def decode_table_colocated(enc: DataFrame, meta: list | None = None) -> DataFram
             d = batch.to_pylist()  # ~12 tiny metadata rows per chunk
             for row in d:
                 cid = row["chunk_id"]
+                if row.get("crc32") is not None and zlib.crc32(row["payload"]) != row["crc32"]:
+                    raise IOError(
+                        f"payload corruption: chunk {cid} column {row['column']!r} crc mismatch"
+                    )
                 pending.setdefault(cid, {})[row["column"]] = (
                     row["codec"],
                     row["payload"],
