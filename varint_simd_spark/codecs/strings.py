@@ -24,6 +24,16 @@ from .container import pack_sections, unpack_sections
 
 _ESCAPE = 255  # FSST escape code (code 255 = next byte is a literal)
 
+_EVEN_MASK = np.tile(np.array([True, False]), 1 << 17)  # grown on demand
+
+
+def _even_mask(n: int) -> np.ndarray:
+    """Cached alternating True/False mask of length n (True at even idx)."""
+    global _EVEN_MASK
+    if _EVEN_MASK.size < n:
+        _EVEN_MASK = np.tile(np.array([True, False]), (n + 1) // 2 + 1)
+    return _EVEN_MASK[:n]
+
 BO = tuple[np.ndarray, np.ndarray]  # (blob uint8, offs int64[n+1])
 
 
@@ -218,10 +228,12 @@ class FsstStr:
         """One digram-coding layer.  -> (pair_syms, single_syms, out, comp_lens)."""
         pair_syms, single_syms = self._train(blob)
         P, S = len(pair_syms), len(single_syms)
-        pair_code = np.full(65536, -1, dtype=np.int16)
-        pair_code[pair_syms] = np.arange(P, dtype=np.int16)
-        single_code = np.full(256, -1, dtype=np.int16)
-        single_code[single_syms] = np.arange(P, P + S, dtype=np.int16)
+        # uint8 LUTs with 0xFF = "no code" sentinel (safe: P+S <= 255, so
+        # real codes never reach 255, which is the escape marker anyway)
+        pair_code = np.full(65536, 0xFF, dtype=np.uint8)
+        pair_code[pair_syms] = np.arange(P, dtype=np.uint8)
+        single_code = np.full(256, 0xFF, dtype=np.uint8)
+        single_code[single_syms] = np.arange(P, P + S, dtype=np.uint8)
 
         n_vals = offs.size - 1
         if int(offs[-1]) <= self.TILE_BYTES or n_vals < 2:
@@ -288,51 +300,50 @@ class FsstStr:
         if nb == 0:
             return np.zeros(0, dtype=np.uint8), np.zeros(n_vals, dtype=np.int64)
 
+        # one 64K-LUT gather produces the pair code per position (0xFF = none)
         pairs = blob[:-1].astype(np.uint16) << np.uint16(8)
         pairs |= blob[1:]
-        m = pair_code[pairs] >= 0
-        # suppress pair matches straddling a value boundary
-        last_byte_of_value = np.zeros(nb, dtype=bool)
-        nonempty_ends = offs[1:][offs[1:] > 0] - 1
-        last_byte_of_value[nonempty_ends] = True
-        m &= ~last_byte_of_value[:-1]
+        pcode = pair_code[pairs]
+        m = pcode != 0xFF
+        # suppress pair matches straddling a value boundary (in-place scatter)
+        ends = offs[1:][offs[1:] > 0] - 1
+        ends = ends[ends < nb - 1]
+        m[ends] = False
 
-        # greedy non-overlap: even offsets within each run of candidates
-        # (int32 throughout — these temporaries dominate memory traffic)
-        m_ext = np.concatenate([[False], m])
-        run_start = m & ~m_ext[:-1]
-        run_id = np.cumsum(run_start, dtype=np.int32)
-        pos = np.arange(nb - 1, dtype=np.int32)
-        first_pos_of_run = np.zeros(int(run_id[-1]) + 1 if run_id.size else 1, dtype=np.int32)
-        starts_idx = np.flatnonzero(run_start)
-        first_pos_of_run[run_id[starts_idx]] = starts_idx
-        offset_in_run = pos - first_pos_of_run[run_id]
-        selected = m & ((offset_in_run & 1) == 0)
+        # scan-free non-overlap selection ("parity repair" maximal matching):
+        # take all matches at even positions, then odd-position matches whose
+        # even neighbors were not taken.  Any valid non-overlapping parse
+        # decodes identically; measured pair count is within noise of
+        # greedy-left, at ~1/20 the cost of a positional forward-fill scan.
+        even = _even_mask(nb - 1)
+        sel_e = m & even
+        selected = m & ~even
+        selected[1:] &= ~sel_e[:-1]
+        selected[:-1] &= ~sel_e[1:]
+        selected |= sel_e
 
         sel_pos = np.flatnonzero(selected)
-        consumed_second = np.zeros(nb, dtype=bool)
-        consumed_second[sel_pos + 1] = True
+        remain = np.ones(nb, dtype=bool)
+        remain[sel_pos] = False
+        remain[sel_pos + 1] = False
+        # classify leftover bytes on the (usually small) remainder only
+        remain_idx = np.flatnonzero(remain)
+        sc_r = single_code[blob[remain_idx]]
+        esc_local = sc_r == 0xFF
+        esc_idx = remain_idx[esc_local]
+        single_idx = remain_idx[~esc_local]
+        single_codes = sc_r[~esc_local]
 
-        is_pair_start = np.zeros(nb, dtype=bool)
-        is_pair_start[sel_pos] = True
-        remain = ~is_pair_start & ~consumed_second
-        sc = single_code[blob]
-        esc = remain & (sc < 0)
-        single = remain & (sc >= 0)
-
-        cost = np.zeros(nb, dtype=np.uint8)
-        cost[is_pair_start] = 1
-        cost[single] = 1
-        cost[esc] = 2
+        cost = np.ones(nb, dtype=np.uint8)
+        cost[sel_pos + 1] = 0
+        cost[esc_idx] = 2
         # int32 offsets are safe: tiles are <= TILE_BYTES << 2^31
         out_offs = np.empty(nb + 1, dtype=np.int32 if nb < (1 << 30) else np.int64)
         out_offs[0] = 0
         np.cumsum(cost, dtype=out_offs.dtype, out=out_offs[1:])
         out = np.empty(int(out_offs[-1]), dtype=np.uint8)
-        out[out_offs[sel_pos]] = pair_code[pairs[sel_pos]].astype(np.uint8)
-        single_idx = np.flatnonzero(single)
-        out[out_offs[single_idx]] = sc[single_idx].astype(np.uint8)
-        esc_idx = np.flatnonzero(esc)
+        out[out_offs[sel_pos]] = pcode[sel_pos]
+        out[out_offs[single_idx]] = single_codes
         esc_out = out_offs[esc_idx]
         out[esc_out] = _ESCAPE
         out[esc_out + 1] = blob[esc_idx]
@@ -386,38 +397,54 @@ class FsstStr:
 
         sym_first = np.empty(256, dtype=np.uint8)
         sym_second = np.zeros(256, dtype=np.uint8)
-        sym_len = np.ones(256, dtype=np.int64)
+        sym_len = np.ones(256, dtype=np.uint8)
         sym_first[:P] = (pair_syms >> np.uint16(8)).astype(np.uint8)
         sym_second[:P] = (pair_syms & np.uint16(0xFF)).astype(np.uint8)
         sym_len[:P] = 2
         sym_first[P : P + S] = single_syms
 
         nb = codes.size
-        is_code = np.ones(nb, dtype=bool)
+        off_t = np.int32 if nb < (1 << 30) else np.int64
         esc_mask = codes == _ESCAPE
-        esc_pos = np.flatnonzero(esc_mask)
-        if esc_pos.size:
-            # runs of consecutive 0xFF bytes: alternating escape/literal
-            run_start = esc_mask & ~np.concatenate([[False], esc_mask[:-1]])
-            rid = np.cumsum(run_start)
-            first_of = np.zeros(rid.max() + 1, dtype=np.int64)
-            sidx = np.flatnonzero(run_start)
-            first_of[rid[sidx]] = sidx
-            par = (np.arange(nb) - first_of[rid]) & 1
-            true_esc = esc_mask & (par == 0)
-            literal = np.zeros(nb, dtype=bool)
-            tp = np.flatnonzero(true_esc) + 1
-            literal[tp[tp < nb]] = True
-            is_code = ~literal
-            esc_mask = true_esc
-        out_len_per = np.where(esc_mask, 1, sym_len[codes])
+
+        if not esc_mask.any():
+            # fast path (the common case: no escape bytes in this block)
+            lens8 = sym_len[codes]
+            out_offs = np.empty(nb + 1, dtype=off_t)
+            out_offs[0] = 0
+            np.cumsum(lens8, dtype=off_t, out=out_offs[1:])
+            out = np.empty(int(out_offs[-1]), dtype=np.uint8)
+            out[out_offs[:-1]] = sym_first[codes]
+            two = np.flatnonzero(lens8 == 2)
+            out[out_offs[two] + 1] = sym_second[codes[two]]
+            comp_offs = np.concatenate([[0], np.cumsum(comp_lens)])
+            return out, out_offs[comp_offs].astype(np.int64)
+
+        is_code = np.ones(nb, dtype=bool)
+        # runs of consecutive 0xFF bytes: alternating escape/literal
+        run_start = esc_mask & ~np.concatenate([[False], esc_mask[:-1]])
+        rid = np.cumsum(run_start)
+        first_of = np.zeros(rid.max() + 1, dtype=np.int64)
+        sidx = np.flatnonzero(run_start)
+        first_of[rid[sidx]] = sidx
+        par = (np.arange(nb) - first_of[rid]) & 1
+        true_esc = esc_mask & (par == 0)
+        literal = np.zeros(nb, dtype=bool)
+        tp = np.flatnonzero(true_esc) + 1
+        literal[tp[tp < nb]] = True
+        is_code = ~literal
+        esc_mask = true_esc
+        out_len_per = np.where(esc_mask, np.uint8(1), sym_len[codes])
         out_len_per[~is_code] = 0
 
-        out_offs = np.concatenate([[0], np.cumsum(out_len_per)])
+        out_offs = np.empty(nb + 1, dtype=off_t)
+        out_offs[0] = 0
+        np.cumsum(out_len_per, dtype=off_t, out=out_offs[1:])
         out = np.empty(int(out_offs[-1]), dtype=np.uint8)
         cp = np.flatnonzero(is_code & ~esc_mask)
-        out[out_offs[cp]] = sym_first[codes[cp]]
-        two = cp[sym_len[codes[cp]] == 2]
+        c2 = codes[cp]
+        out[out_offs[cp]] = sym_first[c2]
+        two = cp[sym_len[c2] == 2]
         out[out_offs[two] + 1] = sym_second[codes[two]]
         ep = np.flatnonzero(esc_mask)
         ep_valid = ep[ep + 1 < nb]
