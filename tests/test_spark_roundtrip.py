@@ -126,6 +126,40 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,1000)]" in plan, plan
 
 
+def test_decode_column_pruning(web_pages, spark, tmp_path):
+    """decode_table(columns=...) must (a) return only those columns,
+    bit-identical, and (b) push an In(column, ...) filter down to the
+    encoded-store parquet scan so pruned payloads are never read."""
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators import decode_table_colocated
+
+    store = str(tmp_path / "enc")
+    encode_table(web_pages, key="url", n_chunks=8).repartition("chunk_id") \
+        .write.partitionBy("chunk_id").parquet(store)
+    enc = spark.read.parquet(store)
+
+    dec = decode_table(enc, columns=["url", "text"])
+    assert [f.name for f in dec.schema.fields] == ["__chunk", "url", "text"]
+    out = dec.toPandas().sort_values("url", ignore_index=True)
+    src = web_pages.select("url", "text").toPandas().sort_values("url", ignore_index=True)
+    assert (out["text"] == src["text"]).all()
+
+    # the column filter must reach the scan (payload skipping at the source)
+    plan = dec._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "PushedFilters" in plan and "In(column" in plan, plan
+
+    # colocated (shuffle-free) variant agrees
+    out2 = (
+        decode_table_colocated(enc, columns=["url", "text"])
+        .toPandas().sort_values("url", ignore_index=True)
+    )
+    assert (out2["text"] == src["text"]).all()
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        decode_table(enc, columns=["nope"])
+
+
 def test_payload_corruption_detected(spark, tmp_path):
     """A flipped payload byte must fail decode loudly (CRC gate), not
     produce silently wrong data."""

@@ -37,6 +37,16 @@ def q_auto_roundtrip_lineitem(spark, sf_dir):
     return decode_table(enc).drop("__chunk")
 
 
+def q_pruned_decode_documents(spark, sf_dir):
+    """Projection pushdown through the codec layer: encode ALL columns,
+    decode only (doc_id, source) — pruned columns' payloads are filtered
+    out before the decode UDF (In(column, ...) reaches the encoded-store
+    scan when reading from parquet)."""
+    df = _read(spark, sf_dir, "documents")
+    enc = encode_table(df, key="doc_id", n_chunks=8)
+    return decode_table(enc, columns=["doc_id", "source"]).drop("__chunk")
+
+
 def q_varint_roundtrip_orders_keys(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "orders", "o_orderkey",
@@ -219,6 +229,7 @@ from .driver_queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 QUERIES = {
     "auto_roundtrip_lineitem": q_auto_roundtrip_lineitem,
+    "pruned_decode_documents": q_pruned_decode_documents,
     "varint_roundtrip_orders_keys": q_varint_roundtrip_orders_keys,
     "varint_zz_roundtrip_events_value": q_varint_zz_roundtrip_events_value,
     "delta_zz_roundtrip_events_ts": q_delta_zz_roundtrip_events_ts,
@@ -244,6 +255,7 @@ _VLEN_CASE_CUST = _VARINT_LEN_CASE_SQL.format(col="o_custkey")
 
 ORACLES = {
     "auto_roundtrip_lineitem": "SELECT * FROM lineitem",
+    "pruned_decode_documents": "SELECT doc_id, source FROM documents",
     "varint_roundtrip_orders_keys": "SELECT o_orderkey, o_custkey FROM orders",
     "varint_zz_roundtrip_events_value": "SELECT event_id, user_id, value FROM events",
     "delta_zz_roundtrip_events_ts": "SELECT event_id, ts FROM events",

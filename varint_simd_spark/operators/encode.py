@@ -184,13 +184,33 @@ def column_meta(enc: DataFrame) -> list:
     )
 
 
-def decode_table(enc: DataFrame, meta: list | None = None) -> DataFrame:
+def _prune(enc: DataFrame, meta: list, columns: list[str] | None):
+    """Column pruning through the codec layer: the encoded table is one row
+    per (chunk, column), so selecting a column subset is a plain filter on
+    ``column`` — which Catalyst pushes down to the encoded-store parquet
+    scan (PushedFilters: In(column, ...)), skipping the pruned columns'
+    payload bytes entirely.  At 100 TB this is the difference between
+    reading 5 columns and reading the 1 the query needs."""
+    if columns is None:
+        return enc, meta
+    known = {r["column"] for r in meta}
+    missing = set(columns) - known
+    if missing:
+        raise ValueError(f"unknown columns: {sorted(missing)}")
+    meta = [r for r in meta if r["column"] in set(columns)]
+    return enc.filter(F.col("column").isin(list(columns))), meta
+
+
+def decode_table(enc: DataFrame, meta: list | None = None, columns: list[str] | None = None) -> DataFrame:
     """Inverse of :func:`encode_table`: encoded chunks -> original rows.
 
     Self-describing (schema from the dtype tags); one groupBy on chunk_id.
-    ``meta``: precomputed :func:`column_meta` (skips the planning job)."""
+    ``meta``: precomputed :func:`column_meta` (skips the planning job).
+    ``columns``: decode only this subset (projection pushdown — pruned
+    columns' payloads are never read, decoded, or shipped over Arrow)."""
     if meta is None:
         meta = column_meta(enc)
+    enc, meta = _prune(enc, meta, columns)
     columns = [r["column"] for r in meta]
     tags = {r["column"]: r["dtype"] for r in meta}
     out_schema = T.StructType(
@@ -239,7 +259,9 @@ def decode_table(enc: DataFrame, meta: list | None = None) -> DataFrame:
     return enc.groupBy("chunk_id").applyInArrow(decode_chunk, schema=out_schema)
 
 
-def decode_table_colocated(enc: DataFrame, meta: list | None = None) -> DataFrame:
+def decode_table_colocated(
+    enc: DataFrame, meta: list | None = None, columns: list[str] | None = None
+) -> DataFrame:
     """Shuffle-FREE decode for chunk-partitioned encoded tables.
 
     :func:`decode_table` groups by chunk_id (one shuffle).  When the input
@@ -248,9 +270,12 @@ def decode_table_colocated(enc: DataFrame, meta: list | None = None) -> DataFram
     all rows of a chunk already arrive in the same task — so decode is a
     pure ``mapInArrow`` over the scan: zero exchanges.  This is the 100 TB
     read path: decode throughput scales with scan parallelism only.
+
+    ``columns``: projection pushdown (see :func:`decode_table`).
     """
     if meta is None:
         meta = column_meta(enc)
+    enc, meta = _prune(enc, meta, columns)
     columns = [r["column"] for r in meta]
     tags = {r["column"]: r["dtype"] for r in meta}
 
