@@ -57,7 +57,7 @@ def main() -> None:
         return out
 
     # --- web_pages synthetic (the north-rule table) -----------------------
-    n_pages = 120_000
+    n_pages = 400_000
     wp = generate_web_pages(spark, n_pages, seed=42)
     wp.write.mode("overwrite").parquet(f"{tmp}/web_pages")
     wp = spark.read.parquet(f"{tmp}/web_pages")
@@ -76,6 +76,13 @@ def main() -> None:
           .agg(F.sum(F.length("text"))).collect())
     bytes_processed["encode_web_pages"] = raw_wp
     bytes_processed["decode_web_pages"] = raw_wp
+    # projection-pushdown read path: only the text column's payloads are
+    # read+decoded (In(column,...) reaches the store scan)
+    raw_text = wp.select(F.sum(F.length("text"))).collect()[0][0]
+    timed("decode_web_pages_pruned", lambda: decode_table_colocated(
+        enc_wp, meta=meta_wp, columns=["text"])
+          .agg(F.sum(F.length("text"))).collect())
+    bytes_processed["decode_web_pages_pruned"] = raw_text
 
     # --- lineitem (TPC-H-ish integer/date/float mix) ----------------------
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

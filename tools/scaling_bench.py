@@ -25,7 +25,7 @@ CHILD = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, %(repo)r)
 from pyspark.sql import functions as F
-from varint_simd_spark.operators import decode_table
+from varint_simd_spark.operators import decode_table_colocated
 from varint_simd_spark.plans.partitioning import encode_table_salted
 from varint_simd_spark.sources.session import get_spark
 from varint_simd_spark.sources.web_pages import generate_web_pages
@@ -54,13 +54,15 @@ meta = None
 for _ in range(2):
     t0 = time.perf_counter()
     enc = encode_table_salted(wp, n_chunks=64, target_rows_per_chunk=200_000)
-    enc.write.mode("overwrite").parquet(f"{tmp}/enc")
+    # production store layout: partitioned by chunk so decode is shuffle-free
+    enc.repartition("chunk_id").write.partitionBy("chunk_id") \
+        .mode("overwrite").parquet(f"{tmp}/enc")
     enc_best = min(enc_best, time.perf_counter() - t0)
     enc2 = spark.read.parquet(f"{tmp}/enc")
     if meta is None:
         meta = column_meta(enc2)
     t1 = time.perf_counter()
-    n = decode_table(enc2, meta=meta).count()
+    n = decode_table_colocated(enc2, meta=meta).count()
     dec_best = min(dec_best, time.perf_counter() - t1)
     assert n == n_pages, (n, n_pages)
 

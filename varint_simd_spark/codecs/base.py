@@ -101,8 +101,10 @@ def int64_to_arrow(v: np.ndarray, tag: str) -> pa.Array:
 _FILL = {"str": "", "bin": b"", "ts_us": 0, "date_d": 0, "f64": 0.0, "bool": False}
 
 
-def encode_column_arrow(arr: pa.Array, codec: str) -> tuple[str, bytes, dict]:
-    """Encode one Arrow column chunk.  Returns (dtype_tag, payload, params)."""
+def encode_column_arrow(arr: pa.Array, codec: str, cache: dict | None = None) -> tuple[str, bytes, dict]:
+    """Encode one Arrow column chunk.  Returns (dtype_tag, payload, params).
+    ``cache``: artifacts the codec chooser already computed (e.g. the
+    dictionary), so string codecs don't repeat the work."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     tag = arrow_tag(arr.type)
@@ -118,7 +120,7 @@ def encode_column_arrow(arr: pa.Array, codec: str) -> tuple[str, bytes, dict]:
             arr = pc.fill_null(arr, fill)
 
     if tag in STR_TAGS:
-        payload, params = STR_CODECS[codec].encode_bo(arrow_to_bo(arr))
+        payload, params = STR_CODECS[codec].encode_bo(arrow_to_bo(arr), cache=cache)
     else:
         payload, params = INT_CODECS[codec].encode(arrow_to_int64(arr, tag))
 

@@ -91,6 +91,8 @@ def choose_str_codec_bo(blob: np.ndarray, offs: np.ndarray) -> tuple[str, str, d
     best = min(est, key=est.get)
     stats = {f"est_{k}": int(s) for k, s in est.items()}
     stats.update({"n": n, "n_distinct": n_distinct, "runs": runs, "total_bytes": total})
+    # hand the already-computed dictionary to the encoder (dict/rle reuse it)
+    stats["_cache"] = {"dict": (codes, (dblob, doffs))}
     return best, f"est {int(est[best])}B", stats
 
 

@@ -118,7 +118,7 @@ class RawStr:
 
     name = "raw_str"
 
-    def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
+    def encode_bo(self, bo: BO, cache: dict | None = None) -> tuple[bytes, dict]:
         blob, offs = bo
         lens_pay, _ = varint.encode(np.diff(offs).astype(np.uint64))
         return pack_sections([lens_pay, blob.tobytes()]), {}
@@ -136,8 +136,10 @@ class DictStr:
 
     name = "dict_str"
 
-    def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
-        codes, (dblob, doffs) = _dict_encode_bo(bo)
+    def encode_bo(self, bo: BO, cache: dict | None = None) -> tuple[bytes, dict]:
+        # the codec chooser already dictionary-encoded this chunk to count
+        # distincts — reuse its result instead of re-hashing the column
+        codes, (dblob, doffs) = (cache or {}).get("dict") or _dict_encode_bo(bo)
         dlens_pay, _ = varint.encode(np.diff(doffs).astype(np.uint64))
         idx_pay, _ = varint.encode(codes.astype(np.uint64))
         return (
@@ -163,12 +165,12 @@ class RleStr:
 
     name = "rle_str"
 
-    def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
+    def encode_bo(self, bo: BO, cache: dict | None = None) -> tuple[bytes, dict]:
         blob, offs = bo
         n = len(offs) - 1
         if n == 0:
             return pack_sections([b"", b"", b""]), {"runs": "0"}
-        codes, (dblob, doffs) = _dict_encode_bo(bo)
+        codes, (dblob, doffs) = (cache or {}).get("dict") or _dict_encode_bo(bo)
         starts = np.concatenate([[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1])
         run_lens = np.diff(np.concatenate([starts, [n]])).astype(np.uint64)
         rblob, roffs = _gather_values(blob, offs, starts)
@@ -255,7 +257,7 @@ class FsstStr:
             comp_lens = np.concatenate(lens_parts)
         return pair_syms, single_syms, out, comp_lens
 
-    def encode_bo(self, bo: BO) -> tuple[bytes, dict]:
+    def encode_bo(self, bo: BO, cache: dict | None = None) -> tuple[bytes, dict]:
         blob, offs = bo
         p1, s1, out, comp_lens = self._encode_layer(blob, offs)
         rounds = 1

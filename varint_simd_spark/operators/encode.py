@@ -122,11 +122,13 @@ def make_encode_chunk_fn(columns: list[str], codecs: dict[str, str], sort_key: s
         for idx, col in enumerate(columns):
             arr = table[col].combine_chunks()
             want = codecs.get(col, "auto")
+            cache = None
             if want == "auto":
                 codec, reason, _stats = choose_codec_arrow(arr)
+                cache = _stats.get("_cache")
             else:
                 codec, reason = want, "forced"
-            tag, payload, params = encode_column_arrow(arr, codec)
+            tag, payload, params = encode_column_arrow(arr, codec, cache=cache)
             ref_b, raw_b = _ref_and_raw_bytes(arr, tag)
             cols["chunk_id"].append(chunk_id)
             cols["col_idx"].append(idx)
