@@ -178,3 +178,12 @@ def test_payload_corruption_detected(spark, tmp_path):
     with pytest.raises(Exception, match="corruption|PythonException") as ei:
         decode_table(corrupted).count()
     assert "payload corruption" in str(ei.value)
+
+    # the shuffle-free path applies the same gate
+    from varint_simd_spark.operators import decode_table_colocated
+
+    store = str(tmp_path / "corrupt_store")
+    corrupted.repartition("chunk_id").write.partitionBy("chunk_id").parquet(store)
+    with pytest.raises(Exception, match="corruption|PythonException") as ei2:
+        decode_table_colocated(spark.read.parquet(store)).count()
+    assert "payload corruption" in str(ei2.value)
