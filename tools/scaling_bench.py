@@ -33,8 +33,16 @@ from varint_simd_spark.sources.web_pages import generate_web_pages
 from varint_simd_spark.operators.encode import column_meta
 
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2])
-spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(cpus * 2, 16))
+# SPARK_GRAFT_MASTER_FMT=local-cluster[{c},1,3072] runs one executor JVM
+# (+ its own python workers) per "node".  Measured on this box it scales
+# WORSE than local[k] (0.39 vs 0.61 at 2->8): N JVMs on one host multiply
+# JVM/IPC fixed costs while still sharing one memory bus, so local[k]
+# remains the reported protocol.
+master = os.environ.get("SPARK_GRAFT_MASTER_FMT", "local[{c}]").format(c=cpus)
+spark = get_spark(app_name=f"scale{cpus}", master=master,
+                  shuffle_partitions=max(cpus * 2, 16),
+                  extra_conf={"spark.executorEnv.PYTHONPATH": %(repo)r,
+                              "spark.executor.memory": "3g"})
 spark.sparkContext.setLogLevel("ERROR")
 tmp = tempfile.mkdtemp(prefix=f"vss_scale{cpus}_")
 
