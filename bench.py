@@ -57,7 +57,9 @@ def main() -> None:
         return out
 
     # --- web_pages synthetic (the north-rule table) -----------------------
-    n_pages = 400_000
+    # 1M pages (~0.46 GB raw): big enough that the ~2s fixed Spark overhead
+    # (salt-plan job, parquet commit, scheduling) stops dominating gbps
+    n_pages = 1_000_000
     wp = generate_web_pages(spark, n_pages, seed=42)
     wp.write.mode("overwrite").parquet(f"{tmp}/web_pages")
     wp = spark.read.parquet(f"{tmp}/web_pages")
@@ -67,8 +69,11 @@ def main() -> None:
         F.sum(F.length("url") + F.lit(8) + F.length("html") + F.length("text") + F.length("lang"))
     ).collect()[0][0]
 
+    # direct partitioned write: each chunk is wholly inside one applyInArrow
+    # output partition already, so partitionBy gives one file per chunk with
+    # NO extra repartition shuffle (measured ~1.5s cheaper at 400k pages)
     timed("encode_web_pages", lambda: encode_table(wp, key="url", n_chunks=n_chunks)
-          .repartition("chunk_id").write.partitionBy("chunk_id")
+          .write.partitionBy("chunk_id")
           .mode("overwrite").parquet(f"{tmp}/wp_enc"))
     enc_wp = spark.read.parquet(f"{tmp}/wp_enc")
     meta_wp = column_meta(enc_wp)
@@ -88,7 +93,7 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     raw_li = li.count() * 8 * len(li.columns)  # int64-equivalent raw bytes
     timed("encode_lineitem", lambda: encode_table(li, key="l_orderkey", n_chunks=n_chunks)
-          .repartition("chunk_id").write.partitionBy("chunk_id")
+          .write.partitionBy("chunk_id")
           .mode("overwrite").parquet(f"{tmp}/li_enc"))
     enc_li = spark.read.parquet(f"{tmp}/li_enc")
     meta_li = column_meta(enc_li)

@@ -156,6 +156,31 @@ def test_snapshot_scoped_read(web_pages, spark, tmp_path):
         store.read_encoded(as_of_snapshot="nope")
 
 
+def test_commit_lineage_covers_only_this_run(web_pages, spark, tmp_path):
+    """A commit's manifest rows cover exactly the chunks that run touched —
+    NOT the whole store (at 100 TB a commit must be O(run), not O(store))."""
+    from varint_simd_spark.operators import encode_table
+
+    store = EncodedStore(spark, str(tmp_path / "store6"))
+    # commit 1: chunks 0..3 (4 chunks)
+    enc1 = encode_table(web_pages, key="url", n_chunks=4)
+    snap1 = store.commit(enc1)
+    m1 = store.manifest().toPandas()
+    assert len(m1) == 4 and set(m1["snapshot_id"]) == {snap1}
+
+    # commit 2: re-encode ONLY chunk 2 (public commit(), no expected_chunks)
+    enc2 = encode_table(web_pages, key="url", n_chunks=4).filter(F.col("chunk_id") == 2)
+    snap2 = store.commit(enc2)
+    m2 = store.manifest().toPandas()
+    # exactly ONE new row, attributed to snap2, for chunk 2 only — no
+    # re-attribution of untouched chunks to the new snapshot
+    assert len(m2) == 5
+    new = m2[m2["snapshot_id"] == snap2]
+    assert list(new["chunk_id"]) == [2]
+    # and the untouched chunks' rows still carry the old snapshot
+    assert set(m2[m2["chunk_id"] != 2]["snapshot_id"]) == {snap1}
+
+
 def test_empty_chunks_commit_liveness(spark, tmp_path):
     """Chunks that receive no rows still get zero-row manifest entries, so
     resume converges instead of re-planning them forever."""

@@ -28,6 +28,9 @@ def test_incremental_encode_stream(spark, tmp_path):
     q.awaitTermination(300)
     n1 = decode_table(store.read_encoded()).count()
     assert n1 == first.count()
+    snap0_set = set(store.manifest().toPandas()["snapshot_id"])
+    assert len(snap0_set) == 1
+    snap0 = snap0_set.pop()
 
     # drop two: stream restart catches up; chunks with new rows re-encode
     second.write.mode("append").parquet(inp)
@@ -40,3 +43,35 @@ def test_incremental_encode_stream(spark, tmp_path):
     src = all_pages.toPandas().sort_values("url", ignore_index=True)
     assert len(out) == len(src)
     assert (out["text"] == src["text"]).all()
+
+    # batch work is bounded to new data: batch 1 (second drop) owns chunk-id
+    # range [8, 16) and did NOT touch batch 0's chunks — batch-0 manifest
+    # rows keep their original snapshot, exactly one commit per chunk
+    m = store.manifest().toPandas()
+    batch0 = m[m["chunk_id"] < 8]
+    batch1 = m[m["chunk_id"] >= 8]
+    assert len(batch0) == 8 and len(batch1) == 8
+    assert set(batch0["snapshot_id"]) == {snap0}
+    assert m.groupby("chunk_id").size().max() == 1
+
+
+def test_compact_store(spark, tmp_path):
+    """Compaction folds per-batch ingest chunks into the canonical url-hash
+    chunking without changing the decoded table."""
+    from varint_simd_spark.streaming.incremental import compact_store
+
+    inp = str(tmp_path / "in")
+    store = EncodedStore(spark, str(tmp_path / "store"))
+    pages = generate_web_pages(spark, 600, seed=7).cache()
+    pages.write.mode("append").parquet(inp)
+    q = encode_stream(spark, inp, store, pages.schema, key="url", n_chunks=8,
+                      checkpoint_dir=str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+
+    dest = EncodedStore(spark, str(tmp_path / "compacted"))
+    compact_store(store, dest, key="url", n_chunks=4)
+    chunks = {r["chunk_id"] for r in dest.read_encoded().select("chunk_id").distinct().collect()}
+    assert chunks == {0, 1, 2, 3}
+    out = decode_table(dest.read_encoded()).drop("__chunk").toPandas().sort_values("url", ignore_index=True)
+    src = pages.toPandas().sort_values("url", ignore_index=True)
+    assert (out["text"] == src["text"]).all() and len(out) == len(src)

@@ -1,0 +1,84 @@
+"""One-off profiler for the decode_web_pages bench path.
+
+Reproduces bench.py's flow at the same scale, then reports:
+* scan partition count of the encoded store read,
+* wall time of full decode, pruned decode,
+* wall time of a driver-side pure-kernel decode of the same payloads
+  (isolates kernel cost from Spark/IPC cost).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import zlib
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import functions as F
+
+from varint_simd_spark.codecs.base import decode_column_arrow
+from varint_simd_spark.operators import column_meta, decode_table_colocated, encode_table
+from varint_simd_spark.sources.session import get_spark
+from varint_simd_spark.sources.web_pages import generate_web_pages
+
+cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+n_pages = int(os.environ.get("N_PAGES", "400000"))
+spark = get_spark(app_name="profile_decode", master=f"local[{cpus}]",
+                  shuffle_partitions=int(cpus) * 2)
+spark.sparkContext.setLogLevel("ERROR")
+
+tmp = tempfile.mkdtemp(prefix="vss_prof_")
+n_chunks = int(cpus) * 4
+
+wp = generate_web_pages(spark, n_pages, seed=42)
+wp.write.mode("overwrite").parquet(f"{tmp}/web_pages")
+wp = spark.read.parquet(f"{tmp}/web_pages")
+encode_table(wp.limit(4000), key="url", n_chunks=int(cpus)).count()
+
+t0 = time.perf_counter()
+(encode_table(wp, key="url", n_chunks=n_chunks)
+ .repartition("chunk_id").write.partitionBy("chunk_id")
+ .mode("overwrite").parquet(f"{tmp}/wp_enc"))
+print(f"encode: {time.perf_counter()-t0:.2f}s", flush=True)
+
+enc_wp = spark.read.parquet(f"{tmp}/wp_enc")
+meta_wp = column_meta(enc_wp)
+dec = decode_table_colocated(enc_wp, meta=meta_wp)
+print("scan partitions:", dec.rdd.getNumPartitions(), flush=True)
+
+for trial in range(2):
+    t0 = time.perf_counter()
+    dec = decode_table_colocated(enc_wp, meta=meta_wp)
+    dec.agg(F.sum(F.length("text"))).collect()
+    print(f"decode full trial{trial}: {time.perf_counter()-t0:.2f}s", flush=True)
+
+t0 = time.perf_counter()
+decode_table_colocated(enc_wp, meta=meta_wp, columns=["text"]).agg(
+    F.sum(F.length("text"))).collect()
+print(f"decode pruned: {time.perf_counter()-t0:.2f}s", flush=True)
+
+# count-only decode: same kernels, but output shipped back is 1 col of int
+t0 = time.perf_counter()
+decode_table_colocated(enc_wp, meta=meta_wp).agg(F.count("*")).collect()
+print(f"decode full count-only: {time.perf_counter()-t0:.2f}s", flush=True)
+
+# Driver-side pure-kernel decode of all payloads (no Spark in the loop)
+rows = enc_wp.collect()
+t0 = time.perf_counter()
+total = 0
+for r in rows:
+    arr = decode_column_arrow(r["dtype"], r["codec"], r["payload"],
+                              json.loads(r["params"]), r["n_values"])
+    total += r["n_values"]
+t1 = time.perf_counter()
+print(f"driver kernel-only decode (1 proc): {t1-t0:.2f}s for {total} values", flush=True)
+
+raw = wp.select(F.sum(F.length("url") + F.lit(8) + F.length("html") + F.length("text") + F.length("lang"))).collect()[0][0]
+print(f"raw bytes: {raw/1e9:.3f} GB", flush=True)
+spark.stop()

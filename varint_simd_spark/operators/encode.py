@@ -171,8 +171,12 @@ def encode_table(
         raise ValueError(f"codecs for unknown columns: {sorted(unknown)}")
     chunk = F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)).alias("__chunk")
     fn = make_encode_chunk_fn(columns, codecs, key if sort_within_chunk else None)
+    # the sort key must ride along even when not an encoded column, else the
+    # chunk sort would KeyError at executor time; it is never encoded (the
+    # encode loop iterates `columns` only)
+    select_cols = list(columns) + ([key] if sort_within_chunk and key not in columns else [])
     return (
-        df.select(*columns, chunk)
+        df.select(*select_cols, chunk)
         .groupBy("__chunk")
         .applyInArrow(fn, schema=ENCODED_SCHEMA)
     )
@@ -201,6 +205,38 @@ def _prune(enc: DataFrame, meta: list, columns: list[str] | None):
         raise ValueError(f"unknown columns: {sorted(missing)}")
     meta = [r for r in meta if r["column"] in set(columns)]
     return enc.filter(F.col("column").isin(list(columns))), meta
+
+
+def _iter_enc_rows(batch):
+    """Iterate encoded-chunk rows of an Arrow batch/table WITHOUT
+    materializing payload bytes into Python: payloads come out as zero-copy
+    memoryviews over the Arrow buffer (every decode kernel reads them via
+    ``np.frombuffer``).  Yields (column, codec, payload, params_json,
+    crc_or_None, chunk_id, n_values)."""
+    cols = batch.column("column")
+    codecs_a = batch.column("codec")
+    payloads = batch.column("payload")
+    params_a = batch.column("params")
+    names = set(batch.schema.names)
+    crcs = batch.column("crc32") if "crc32" in names else None
+    cids = batch.column("chunk_id")
+    nvals = batch.column("n_values")
+    if isinstance(batch, pa.Table):
+        cols, codecs_a, payloads, params_a, cids, nvals = (
+            a.combine_chunks() for a in (cols, codecs_a, payloads, params_a, cids, nvals)
+        )
+        crcs = crcs.combine_chunks() if crcs is not None else None
+    for i in range(len(cols)):
+        crc = crcs[i].as_py() if crcs is not None else None
+        yield (
+            cols[i].as_py(),
+            codecs_a[i].as_py(),
+            memoryview(payloads[i].as_buffer()),
+            params_a[i].as_py(),
+            crc,
+            cids[i].as_py(),
+            nvals[i].as_py(),
+        )
 
 
 def decode_table(enc: DataFrame, meta: list | None = None, columns: list[str] | None = None) -> DataFrame:
@@ -238,18 +274,13 @@ def decode_table(enc: DataFrame, meta: list | None = None, columns: list[str] | 
         n = int(table["n_values"][0].as_py())
         chunk_id = int(table["chunk_id"][0].as_py())
         by_col = {}
-        params_col = table["params"].to_pylist()
-        codec_col = table["codec"].to_pylist()
-        col_col = table["column"].to_pylist()
-        payload_col = table["payload"].to_pylist()
-        crc_col = table["crc32"].to_pylist() if "crc32" in table.column_names else [None] * len(col_col)
-        for i, name in enumerate(col_col):
-            if crc_col[i] is not None and zlib.crc32(payload_col[i]) != crc_col[i]:
+        for name, codec, payload, params, crc, _cid, _nv in _iter_enc_rows(table):
+            if crc is not None and zlib.crc32(payload) != crc:
                 raise IOError(
                     f"payload corruption: chunk {chunk_id} column {name!r} "
-                    f"crc mismatch (stored {crc_col[i]})"
+                    f"crc mismatch (stored {crc})"
                 )
-            by_col[name] = (codec_col[i], payload_col[i], json.loads(params_col[i]))
+            by_col[name] = (codec, payload, json.loads(params))
         out = {"__chunk": pa.array(np.full(n, chunk_id, dtype=np.int64))}
         for col in columns:
             codec, payload, params = by_col[col]
@@ -314,19 +345,13 @@ def decode_table_colocated(
             return pa.RecordBatch.from_arrays(list(out.values()), schema=arrow_out)
 
         for batch in batches:
-            d = batch.to_pylist()  # ~12 tiny metadata rows per chunk
-            for row in d:
-                cid = row["chunk_id"]
-                if row.get("crc32") is not None and zlib.crc32(row["payload"]) != row["crc32"]:
+            for name, codec, payload, params, crc, cid, nv in _iter_enc_rows(batch):
+                if crc is not None and zlib.crc32(payload) != crc:
                     raise IOError(
-                        f"payload corruption: chunk {cid} column {row['column']!r} crc mismatch"
+                        f"payload corruption: chunk {cid} column {name!r} crc mismatch"
                     )
-                pending.setdefault(cid, {})[row["column"]] = (
-                    row["codec"],
-                    row["payload"],
-                    json.loads(row["params"]),
-                )
-                counts[cid] = row["n_values"]
+                pending.setdefault(cid, {})[name] = (codec, payload, json.loads(params))
+                counts[cid] = nv
                 if len(pending[cid]) == len(columns):
                     yield flush(cid)
         # chunks missing columns at end-of-partition indicate a layout that

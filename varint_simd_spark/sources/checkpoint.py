@@ -71,6 +71,11 @@ class EncodedStore:
         NO rows (empty chunks) still get a zero-row manifest entry so
         resume does not re-plan them forever."""
         snapshot_id = uuid.uuid4().hex[:16]
+        # Persist so the encode computes ONCE: the write below materializes
+        # the cache and the lineage rollup reads it back — no re-encode and,
+        # critically, no re-read of the whole store (at 100 TB a commit must
+        # cost O(this run), not O(store)).
+        enc = enc.persist()
         (
             enc.repartition("chunk_id")
             .write.mode("overwrite")
@@ -78,8 +83,7 @@ class EncodedStore:
             .partitionBy("chunk_id")
             .parquet(self.enc_path)
         )
-        written = self.spark.read.parquet(self.enc_path)
-        lineage = written.groupBy("chunk_id").agg(
+        lineage = enc.groupBy("chunk_id").agg(
             F.sum("n_values").alias("n_values"),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
@@ -96,6 +100,7 @@ class EncodedStore:
             "committed_at", F.lit(time.time())
         )
         lineage.write.mode("append").parquet(self.manifest_path)
+        enc.unpersist()
         return snapshot_id
 
     def read_encoded(self, as_of_snapshot: str | None = None) -> DataFrame:

@@ -30,7 +30,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsInBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # binary columns can make chunks big; keep maxPartitionBytes default
         # (128m) so scan partitions fit executor memory at scale
         .config("spark.sql.session.timeZone", "UTC")

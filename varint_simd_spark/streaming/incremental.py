@@ -3,13 +3,27 @@
 New web-page files appear continuously at crawl scale; this module wires
 the encode pipeline into a file-source stream:
 
-    readStream(parquet dir) -> foreachBatch: encode_resumable(...)
+    readStream(parquet dir) -> foreachBatch: encode THIS batch's rows only
 
-Each micro-batch encodes only the chunks its rows touch that are not yet
-committed (the same manifest anti-join as the batch path), so the stream
-is exactly-once at chunk granularity: a replayed micro-batch after a crash
-re-encodes and atomically overwrites the same chunk files (idempotent —
-chunk membership is a pure function of the data).
+Chunk-id scheme: every micro-batch owns the disjoint id range
+``[batch_id*n_chunks, (batch_id+1)*n_chunks)``; within the range rows are
+placed by url-hash exactly like the batch path.  Consequences:
+
+* **work per batch is O(batch)** — no re-read of the accumulated table, no
+  re-encode of historical chunks (a chunk is a function of one batch's
+  rows only);
+* **the manifest is append-only** — no rewrite window, nothing to swap
+  atomically, no crash can lose committed rows;
+* **exactly-once at chunk granularity** — foreachBatch replays a crashed
+  batch with the same batch_id and the same rows, so the replay targets
+  the same chunk ids: ids whose manifest row committed are skipped
+  (anti-join), the rest re-encode and atomically overwrite their own
+  partition directories.
+
+The trade-off is the classic streaming-ingest one: many small per-batch
+chunks instead of few big ones.  :func:`compact_store` is the scheduled
+background fix (decode + re-encode into the canonical url-hash chunking),
+the same pattern as Iceberg's rewrite_data_files.
 
 ``trigger(availableNow=True)`` gives catch-up-then-stop semantics (the
 batch-incremental mode a crawl pipeline actually runs); leaving the
@@ -21,6 +35,7 @@ resume.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..sources.checkpoint import EncodedStore
@@ -39,48 +54,60 @@ def encode_stream(
 ):
     """Start the incremental encode stream; returns the StreamingQuery.
 
-    Note on n_chunks at stream scale: chunk ids partition the *entire*
-    accumulated table, so a chunk is re-encoded (overwritten) whenever a
-    micro-batch adds rows to it.  For append-mostly crawls choose the key
-    so new data lands in new chunks (e.g. include a date bucket in the
-    key), keeping micro-batch work proportional to new data."""
+    ``n_chunks`` here is chunks *per micro-batch*; size it so one batch's
+    rows / n_chunks is a healthy chunk (~32-64 MB raw at crawl scale)."""
+
+    from ..operators.encode import ENCODED_SCHEMA, make_encode_chunk_fn
 
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
-        # the manifest gates chunk-level redo; committed chunks whose data
-        # grew must be re-encoded, so drop their manifest rows first
-        from pyspark.sql import functions as F
-
-        touched = (
-            batch_df.select(
-                F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)).alias("chunk_id")
-            )
-            .distinct()
+        base = int(batch_id) * n_chunks
+        committed = {
+            r["chunk_id"]
+            for r in store.committed_chunks()
+            .filter(F.col("chunk_id").between(base, base + n_chunks - 1))
+            .collect()
+        }
+        pending = [base + i for i in range(n_chunks) if base + i not in committed]
+        if not pending:
+            return  # full replay of an already-committed batch
+        columns = [f.name for f in schema.fields]
+        fn = make_encode_chunk_fn(columns, codecs or {}, key)
+        df2 = batch_df.withColumn(
+            "__chunk", F.lit(base) + F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks))
         )
-        try:
-            manifest = store.manifest()
-            keep = manifest.join(F.broadcast(touched), "chunk_id", "left_anti")
-            keep.write.mode("overwrite").parquet(store.manifest_path + "_tmp")
-            spark.read.parquet(store.manifest_path + "_tmp").write.mode(
-                "overwrite"
-            ).parquet(store.manifest_path)
-        except Exception:
-            pass  # first batch: no manifest yet
+        enc = (
+            df2.select(*columns, "__chunk")
+            .filter(F.col("__chunk").isin(pending))
+            .groupBy("__chunk")
+            .applyInArrow(fn, schema=ENCODED_SCHEMA)
+        )
+        store.commit(enc, expected_chunks=pending)
 
-        from ..sources.checkpoint import encode_resumable
-
-        # re-encode touched/missing chunks against the full accumulated
-        # table (a chunk is a function of ALL its rows, not just new ones)
-        full = spark.read.schema(schema).parquet(input_path)
-        encode_resumable(store, full, key=key, n_chunks=n_chunks, codecs=codecs)
-
-    stream = (
-        spark.readStream.schema(schema).parquet(input_path)
-    )
+    stream = spark.readStream.schema(schema).parquet(input_path)
     writer = stream.writeStream.foreachBatch(process_batch)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_store(
+    src: EncodedStore,
+    dest: EncodedStore,
+    key: str = "url",
+    n_chunks: int = 32,
+    codecs: dict[str, str] | None = None,
+) -> str:
+    """Re-chunk an (ingest-fragmented) store into the canonical url-hash
+    layout: decode committed chunks, re-encode with ``encode_table``,
+    commit to ``dest``.  Run as a scheduled maintenance job — the analog of
+    Iceberg's rewrite_data_files; O(store) by design, which is why ingest
+    itself never pays it."""
+    from ..operators.encode import decode_table, encode_table
+
+    full = decode_table(src.read_encoded()).drop("__chunk")
+    enc = encode_table(full, key=key, n_chunks=n_chunks, codecs=codecs)
+    return dest.commit(enc, expected_chunks=list(range(n_chunks)))
