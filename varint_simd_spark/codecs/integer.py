@@ -231,38 +231,3 @@ INT_CODECS = {
         Raw64(),
     ]
 }
-
-
-# --------------------------------------------------------------------------
-# exact cost estimation (the codec "optimizer" input) — computes encoded
-# sizes WITHOUT materializing payloads; all whole-column numpy.
-
-
-def estimate_int_sizes(v: np.ndarray) -> dict[str, int]:
-    v = _to_i64(v)
-    n = v.size
-    if n == 0:
-        return {name: 0 for name in INT_CODECS}
-    sizes: dict[str, int] = {}
-    sizes["raw64"] = 8 * n
-    sizes["varint"] = int(varint.varint_len(v.view(np.uint64)).sum())
-    zz = zigzag(v)
-    sizes["varint_zz"] = int(varint.varint_len(zz).sum())
-    deltas = np.diff(v)
-    d_first = varint.varint_len(zigzag(v[:1])).sum()  # ~ params overhead proxy
-    sizes["delta_zz_varint"] = int(varint.varint_len(zigzag(deltas)).sum() + d_first)
-    base = int(v.min())
-    hi = int((v - base).view(np.uint64).max())
-    bits = max(1, hi.bit_length())
-    sizes["for_bitpack"] = (n * bits + 7) // 8 + 16
-    change = np.count_nonzero(v[1:] != v[:-1]) + 1
-    # runs * (avg value varint + avg len varint) — quick upper bound via max widths
-    run_starts = np.concatenate([[0], np.flatnonzero(v[1:] != v[:-1]) + 1])
-    run_vals = v[run_starts]
-    run_lens = np.diff(np.concatenate([run_starts, [n]]))
-    sizes["rle_varint"] = int(
-        varint.varint_len(zigzag(run_vals)).sum()
-        + varint.varint_len(run_lens.astype(np.uint64)).sum()
-        + 8
-    )
-    return sizes

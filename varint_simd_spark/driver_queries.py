@@ -192,14 +192,17 @@ def q_codec_size_rollup(spark, sf_dir):
 def q_delta_lag_native_events(spark, sf_dir):
     """Delta encoding at the DataFrame level: F.lag window (SURVEY §2.2
     window-functions row) — the shuffle-based alternative to the in-kernel
-    np.diff the codecs use."""
+    np.diff the codecs use.  PARTITIONED window (per user): a global
+    ``orderBy`` window funnels the whole table through one task — at 100 TB
+    the partition key is what makes this operator exist at all."""
     from pyspark.sql import Window
 
     df = _read(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
     micros = F.unix_micros(F.col("ts").cast("timestamp"))
     return df.select(
         "event_id",
+        "user_id",
         (micros - F.lag(micros).over(w)).alias("ts_delta_us"),
     )
 
@@ -276,7 +279,8 @@ ORACLES = {
         "ELSE -2*(o_custkey - 750) - 1 END AS BIGINT) AS zz FROM orders"
     ),
     "delta_lag_native_events": (
-        "SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY event_id) "
+        "SELECT event_id, user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+        "OVER (PARTITION BY user_id ORDER BY event_id) "
         "AS ts_delta_us FROM events"
     ),
     "top_sources_documents": (

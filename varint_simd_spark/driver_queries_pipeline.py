@@ -134,8 +134,19 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 def q_ann_topk_lsh(spark, sf_dir):
+    """Stored-index ANN: write the multi-table LSH index (partitioned by
+    bucket), probe it — the scan prunes to probe buckets via
+    PartitionFilters instead of computing signatures for every row."""
+    import tempfile
+
+    from .functions.similarity import ann_topk_indexed, write_ann_index
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_topk_lsh(emb, QUERY_VEC, k=10, n_planes=10)
+    path = tempfile.mkdtemp(prefix="vss_ann_") + "/idx"
+    write_ann_index(emb, path, n_planes=10, n_tables=6)
+    idx = spark.read.parquet(path)
+    out = ann_topk_indexed(idx, QUERY_VEC, k=10, n_planes=10, n_tables=6)
+    return out.select("vec_id", F.round("cos", 6).alias("cos"))
 
 
 def q_binary_meta(spark, sf_dir):
@@ -148,12 +159,32 @@ def q_binary_meta(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Feature extraction over the binary column; the graded projection
+    flattens the feature vector into scalar columns (rounded) so the
+    driver's canonicalizer can sort/hash it — arrays are not hashable."""
     from .sources.web_pages import generate_web_pages
 
     wp = generate_web_pages(spark, 2000, seed=42).withColumn(
         "page_id", F.xxhash64("url")
     )
-    return extract_features(wp, "html", "page_id")
+    feats = extract_features(wp, "html", "page_id")
+    return feats.select(
+        "id",
+        "format",
+        "n_bytes",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 5).alias(f"f{i:02d}")
+            for i in range(4)
+        ],
+        F.round(
+            F.aggregate(
+                F.col("features").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            5,
+        ).alias("feat_sum"),
+    )
 
 
 PIPELINE_QUERIES = {

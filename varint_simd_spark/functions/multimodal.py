@@ -79,27 +79,69 @@ def decode_stub(payload: np.ndarray) -> np.ndarray:
     return hist / hist.sum()
 
 
+def decode_stub_batch(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Whole-batch version of :func:`decode_stub`: per-row 16-bin byte
+    histograms over a flat uint8 buffer + int offsets — ONE bincount over
+    the whole Arrow batch, no per-value Python.  A production deployment
+    swaps in the real decoder here (PIL/ffmpeg over each [offs[i], offs[i+1])
+    slice); the Spark-side plumbing stays identical."""
+    n = offs.size - 1
+    lens = np.diff(offs)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    idx = row_of * FEATURE_DIM + (data[offs[0] : offs[-1]] >> 4)
+    hist = np.bincount(idx, minlength=n * FEATURE_DIM).astype(np.float32)
+    hist = hist.reshape(n, FEATURE_DIM)
+    totals = hist.sum(axis=1, keepdims=True)
+    np.divide(hist, totals, out=hist, where=totals > 0)
+    return hist
+
+
+def _sniff_formats_np(data: np.ndarray, offs: np.ndarray) -> list[str]:
+    """Vectorized magic-byte sniff: gather the first 4 bytes of every row
+    from the flat buffer, compare against the MAGIC prefixes in numpy."""
+    n = offs.size - 1
+    lens = np.diff(offs)
+    head = np.zeros((n, 4), dtype=np.uint8)
+    for j in range(4):
+        m = lens > j
+        head[m, j] = data[offs[:-1][m] + j]
+    out = np.full(n, "unknown", dtype=object)
+    for magic, fmt in MAGIC.items():
+        mb = bytes.fromhex(magic)
+        match = lens >= len(mb)
+        for j, b in enumerate(mb):
+            match &= head[:, j] == b
+        out[match & (out == "unknown")] = fmt
+    return out.tolist()
+
+
 def extract_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     """mapInArrow feature extraction over a binary column: Arrow batches
-    in, (id, format, n_bytes, features) batches out.  The per-batch loop is
-    over *values of one Arrow batch* (thousands), with numpy kernels per
-    value — the standard shape for multimodal UDF stages."""
+    in, (id, format, n_bytes, features) batches out.  Fully vectorized —
+    the histogram-stub features, sizes, and format sniff are whole-batch
+    numpy over the Arrow binary buffer (offsets + flat data), no per-value
+    Python loop."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(0)
             payloads = batch.column(1)
-            n = batch.num_rows
-            feats = np.empty((n, FEATURE_DIM), dtype=np.float32)
-            sizes = np.empty(n, dtype=np.int64)
-            fmts = []
-            for i in range(n):
-                buf = payloads[i].as_buffer()
-                raw = np.frombuffer(buf, dtype=np.uint8)
-                sizes[i] = raw.size
-                head = bytes(raw[:4]).hex()
-                fmts.append(next((f for m, f in MAGIC.items() if head.startswith(m)), "unknown"))
-                feats[i] = decode_stub(raw)
+            if isinstance(payloads, pa.ChunkedArray):
+                payloads = payloads.combine_chunks()
+            bufs = payloads.buffers()
+            width = 8 if pa.types.is_large_binary(payloads.type) else 4
+            odt = np.int64 if width == 8 else np.int32
+            offs = np.frombuffer(bufs[1], dtype=odt)[
+                payloads.offset : payloads.offset + len(payloads) + 1
+            ].astype(np.int64)
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.zeros(0, np.uint8)
+            )
+            feats = decode_stub_batch(data, offs)
+            sizes = np.diff(offs)
+            fmts = _sniff_formats_np(data, offs)
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.cast(pa.int64()),

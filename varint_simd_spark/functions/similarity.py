@@ -86,35 +86,106 @@ def rp_signature(vec_col: str, n_planes: int = 16, seed: int = 42) -> Column:
     return out
 
 
-def ann_topk_lsh(
+def build_ann_index(
     df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """The ANN index relation: one row per (vector, hash table) with the
+    table's bucket signature — standard multi-table LSH (recall compounds
+    across independent tables: a true neighbor is found if ANY table
+    buckets it with the query).  Table t's planes are seeded ``seed + t``.
+
+    Persist with :func:`write_ann_index` so queries prune to probe buckets.
+    Storage is n_tables x the base table; at very large scale store only
+    (id, __table, __sig) and join back to the base table for the re-rank."""
+    tables = F.explode(F.array(*[F.lit(t) for t in range(n_tables)])).alias("__table")
+    base = df.select(F.col(id_col), F.col(vec_col), tables)
+    sig = F.lit(0).cast("long")
+    for t in range(n_tables):
+        sig = F.when(
+            F.col("__table") == t, rp_signature(vec_col, n_planes, seed + t)
+        ).otherwise(sig)
+    return base.withColumn("__sig", sig)
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> None:
+    """Persist the ANN index partitioned by (table, signature bucket): a
+    probe (``(__table, __sig) IN ...``) becomes a parquet PartitionFilter —
+    only the probed buckets' files are ever read.  This is the 100 TB query
+    path: query cost is O(probed buckets), not O(table)."""
+    build_ann_index(df, vec_col, id_col, n_planes, n_tables, seed).write.partitionBy(
+        "__table", "__sig"
+    ).mode("overwrite").parquet(path)
+
+
+def probe_signatures(qsig: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """Multi-probe expansion: every signature within hamming distance
+    ``probe_hamming`` of the query's (sum of C(n_planes, d) buckets)."""
+    from itertools import combinations
+
+    probes = []
+    for d in range(probe_hamming + 1):
+        for bits in combinations(range(n_planes), d):
+            s = qsig
+            for b in bits:
+                s ^= 1 << b
+            probes.append(s)
+    return probes
+
+
+def query_signatures(spark, query: list[float], n_planes: int, n_tables: int, seed: int) -> list[int]:
+    """Per-table signatures of the query vector via ONE tiny Spark job
+    (same xxhash64 planes as the data side — no Python reimplementation of
+    the hash)."""
+    row = spark.range(1).select(
+        *[
+            rp_signature_from_literal(query, n_planes, seed + t).alias(f"s{t}")
+            for t in range(n_tables)
+        ]
+    ).collect()[0]
+    return [row[f"s{t}"] for t in range(n_tables)]
+
+
+def ann_topk_indexed(
+    index: DataFrame,
     query: list[float],
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 12,
+    n_planes: int = 10,
+    n_tables: int = 6,
     seed: int = 42,
-    probe_hamming: int = 2,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: restrict the exact re-rank to vectors whose hyperplane
-    signature is within hamming distance ``probe_hamming`` of the query's
-    (multi-probe bucket search), then cosine-rank.  At scale the signature
-    is precomputed/stored and the probe is a bucket equi-join; here it is a
-    filter expression.  Recall/selectivity trades off via
-    (n_planes, probe_hamming) — fewer planes or a wider probe => higher
-    recall, more candidates."""
-    # signature of the query vector via a 1-row Spark job (same xxhash64
-    # planes as the data side — no Python reimplementation of the hash)
-    spark = df.sparkSession
-    qsig_row = spark.range(1).select(
-        rp_signature_from_literal(query, n_planes, seed).alias("s")
-    ).collect()[0]
-    qsig = qsig_row["s"]
-
-    sig = rp_signature(vec_col, n_planes, seed)
-    cand = df.withColumn("__sig", sig).filter(
-        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
-    )
+    """ANN top-k over a stored index (:func:`write_ann_index` layout):
+    enumerate each table's multi-probe bucket set driver-side (tiny —
+    n_tables x C(n_planes, <=probe_hamming) ints), prune the index scan to
+    those buckets (the OR-of-IN predicate reaches parquet as a
+    PartitionFilter), dedupe candidates across tables, exact cosine
+    re-rank.  Recall/selectivity trades off via (n_tables, n_planes,
+    probe_hamming): more tables or a wider probe => higher recall, more
+    candidates."""
+    spark = index.sparkSession
+    qsigs = query_signatures(spark, query, n_planes, n_tables, seed)
+    pred = F.lit(False)
+    for t, qs in enumerate(qsigs):
+        pred = pred | (
+            (F.col("__table") == t)
+            & F.col("__sig").isin(probe_signatures(qs, n_planes, probe_hamming))
+        )
+    cand = index.filter(pred).dropDuplicates([id_col])
     q = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
     return (
         cand.select(
@@ -123,6 +194,27 @@ def ann_topk_lsh(
         )
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
+    )
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k without a stored index: builds the multi-table signatures
+    inline and probes them.  Same semantics as :func:`ann_topk_indexed` but
+    pays a full scan to compute signatures — use the stored-index path at
+    scale."""
+    return ann_topk_indexed(
+        build_ann_index(df, vec_col, id_col, n_planes, n_tables, seed),
+        query, k, vec_col, id_col, n_planes, n_tables, seed, probe_hamming,
     )
 
 

@@ -121,10 +121,44 @@ def shingle_fingerprint(col: str, k: int = 8) -> Column:
 
 
 def simhash_df(df, id_col: str, text_col: str):
-    """64-bit SimHash per document: explode tokens -> xxhash64 -> ONE
-    groupBy with 64 per-bit majority sums -> assemble the long.  All
-    JVM-side (explode + hash + conditional sums are WSCG); one shuffle on
-    the doc id — the minimal-shuffle formulation of simhash at scale."""
+    """64-bit SimHash per document — SHUFFLE-FREE.
+
+    The whole signature is a per-row expression: ``aggregate`` folds the
+    token-hash array into a 64-slot bit-count accumulator (``transform``
+    with index inside the fold), then each bit is set iff its count wins
+    the majority (2*count > n_tokens, identical to the ±1-vote sum of the
+    grouped formulation — pinned equal by test).  Zero exchanges: at 100 TB
+    this emits no (id, token-hash) shuffle stream at all, vs the exploded
+    groupBy variant whose shuffle I/O is ~token-count x 16 bytes."""
+    hs = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    n = F.size(hs)
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.transform(
+            acc, lambda c, b: c + F.bit_get(h, b)
+        ),
+    )
+    # majority bit per position (LSB first), then assemble the long from two
+    # 32-bit halves MSB-first (acc*2 + bit — halves can't overflow, and the
+    # final shiftleft is a bitwise op, exempt from ANSI overflow)
+    bits = F.transform(
+        counts, lambda c: F.when(c * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    fold_msb_first = lambda half: F.aggregate(
+        F.reverse(half), F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+    )
+    lo = fold_msb_first(F.slice(bits, 1, 32))
+    hi = fold_msb_first(F.slice(bits, 33, 32))
+    sim = F.shiftleft(hi, 32).bitwiseOR(lo)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_df_grouped(df, id_col: str, text_col: str):
+    """The explode->groupBy formulation of :func:`simhash_df` (64 per-bit
+    ±1-vote sums after one shuffle on the doc id).  Kept as the
+    cross-implementation pin for the shuffle-free version; prefer
+    :func:`simhash_df` everywhere."""
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
     ).withColumn("__h", F.xxhash64("__tok"))
