@@ -102,6 +102,36 @@ def main() -> None:
     bytes_processed["encode_lineitem"] = raw_li
     bytes_processed["decode_lineitem"] = raw_li
 
+    # --- comparative baseline: Spark-native parquet on the same table -----
+    # (the reference benches itself against LEB128/prost; our analog is
+    # "what would plain Spark parquet cost for the same write+read" —
+    # answers whether the codec layer is worth it.  NOT counted in the
+    # engine totals.)
+    import subprocess
+
+    t0 = time.time()
+    wp.write.mode("overwrite").parquet(f"{tmp}/wp_native")
+    native_write = round(time.time() - t0, 3)
+    t0 = time.time()
+    spark.read.parquet(f"{tmp}/wp_native").agg(F.sum(F.length("text"))).collect()
+    native_read = round(time.time() - t0, 3)
+
+    def du(path):
+        try:
+            return int(subprocess.run(["du", "-sb", path], capture_output=True,
+                                      text=True).stdout.split()[0])
+        except Exception:
+            return -1
+
+    native = {
+        "write_s": native_write,
+        "read_s": native_read,
+        "bytes": du(f"{tmp}/wp_native"),
+        "engine_bytes": du(f"{tmp}/wp_enc"),
+    }
+    log(f"native parquet: write {native_write}s read {native_read}s "
+        f"{native['bytes']/1e6:.0f}MB vs engine {native['engine_bytes']/1e6:.0f}MB")
+
     # --- native varint-length aggregation (JVM-side, WSCG) ----------------
     from varint_simd_spark.driver_queries import varint_len_col
 
@@ -121,6 +151,7 @@ def main() -> None:
         "gbps": round(total_gb / total_sec, 3),
         "cpus": int(cpus),
         "web_pages_rows": n_pages,
+        "native_parquet_baseline": native,
     }
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()

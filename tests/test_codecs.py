@@ -73,6 +73,36 @@ def test_fsst_compresses_english():
     assert len(payload) < 0.8 * raw, f"fsst ratio {len(payload)/raw:.2f}"
 
 
+def test_fsst_three_rounds_roundtrip_and_smaller():
+    """The archival MAX_ROUNDS=3 path (8-byte effective symbols) stays
+    bit-exact and strictly smaller than 2 rounds on repetitive text."""
+    from varint_simd_spark.codecs.strings import FsstStr
+
+    text = [
+        (f"<html><head><title>host{i % 7}.example.com</title></head><body>"
+         f"<p>the quick brown fox jumps over the lazy dog {i}</p></body></html>").encode()
+        for i in range(800)
+    ]
+    two, three = FsstStr(), FsstStr()
+    two.MAX_ROUNDS, three.MAX_ROUNDS = 2, 3
+    p2, prm2 = two.encode(text)
+    p3, prm3 = three.encode(text)
+    assert prm3["rounds"] == "3" and prm2["rounds"] == "2"
+    assert three.decode(p3, prm3, len(text)) == text
+    assert len(p3) < len(p2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=60), min_size=0, max_size=60))
+def test_property_fsst_three_rounds(vals):
+    from varint_simd_spark.codecs.strings import FsstStr
+
+    impl = FsstStr()
+    impl.MAX_ROUNDS = 3
+    payload, params = impl.encode(vals)
+    assert impl.decode(payload, params, len(vals)) == vals
+
+
 def test_container_roundtrip():
     secs = [b"", b"abc", bytes(range(256)), b"x" * 100000]
     assert unpack_sections(pack_sections(secs)) == secs

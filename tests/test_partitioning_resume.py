@@ -181,6 +181,24 @@ def test_commit_lineage_covers_only_this_run(web_pages, spark, tmp_path):
     assert set(m2[m2["chunk_id"] != 2]["snapshot_id"]) == {snap1}
 
 
+def test_iceberg_backend_interface_parity(spark, tmp_path):
+    """The Iceberg backend shares the exact EncodedStore interface; in this
+    sandbox (no iceberg-spark-runtime jar) requesting it fails FAST with an
+    actionable error instead of surfacing an executor-time ClassNotFound."""
+    import inspect
+
+    import pytest as _pytest
+
+    from varint_simd_spark.sources.checkpoint import iceberg_runtime_available
+
+    sig = inspect.signature(EncodedStore.__init__)
+    assert "iceberg_table" in sig.parameters
+    if iceberg_runtime_available(spark):
+        _pytest.skip("iceberg runtime present; parquet-fallback gate not applicable")
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        EncodedStore(spark, str(tmp_path / "ice"), iceberg_table="engine.db.enc")
+
+
 def test_empty_chunks_commit_liveness(spark, tmp_path):
     """Chunks that receive no rows still get zero-row manifest entries, so
     resume converges instead of re-planning them forever."""

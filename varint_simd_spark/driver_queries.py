@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators import chunk_metrics, decode_table, encode_table
 
@@ -218,8 +219,95 @@ def q_top_sources_documents(spark, sf_dir):
     )
 
 
+_ERROR_CASES = [
+    # (case, payload, width, expected_status, expected_value)
+    # golden vectors + error semantics from the reference test suite:
+    # ok values src/lib.rs:89-185, Overflow src/lib.rs:187-209 +
+    # src/decode/mod.rs:42-48, NotEnoughBytes src/lib.rs:211-222
+    ("ok_300", b"\xac\x02", 64, "ok", "300"),
+    ("ok_zero", b"\x00", 64, "ok", "0"),
+    ("ok_nonminimal", b"\x80\x00", 64, "ok", "0"),
+    ("ok_u64_max", b"\xff" * 9 + b"\x01", 64, "ok", "18446744073709551615"),
+    ("overflow_u8", b"\x80\x02", 8, "Overflow", None),
+    ("overflow_u32_last_byte", b"\x80\x80\x80\x80\x10", 32, "Overflow", None),
+    ("overflow_u64_too_long", b"\x80" * 10 + b"\x01", 64, "Overflow", None),
+    ("overflow_u64_last_byte", b"\xff" * 9 + b"\x02", 64, "Overflow", None),
+    ("truncated", b"\x80", 64, "NotEnoughBytes", None),
+    ("truncated_after_ok", b"\xac\x02\x80", 64, "NotEnoughBytes", None),
+]
+
+
+def q_decode_error_semantics(spark, sf_dir):
+    """The reference's checked-decode error domain surfaced END TO END
+    through Spark: each case's payload rides an executor-side strict decode
+    (safe=True) and comes back as its status — Overflow on
+    MAX_LAST_VARINT_BYTE / too-long varints (src/decode/mod.rs:42-48),
+    NotEnoughBytes on truncation (src/lib.rs:211-222), golden values on the
+    ok cases.  Ten demonstrative rows — a semantics pin, not a hot path."""
+    import pyarrow as pa
+
+    from .kernels import varint as vk
+    from .kernels.errors import VarIntDecodeError
+
+    df = spark.createDataFrame(
+        [(c, bytearray(p), w) for c, p, w, _, _ in _ERROR_CASES],
+        "case_name string, payload binary, width int",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("case_name", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            names = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            widths = batch.column(2).to_pylist()
+            status, values = [], []
+            for p, w in zip(payloads, widths):
+                try:
+                    v = vk.decode(p, count=1, width=w, safe=True)
+                    status.append("ok")
+                    values.append(str(int(v[0])))
+                except VarIntDecodeError as exc:
+                    status.append(type(exc).__name__)
+                    values.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(names), pa.array(status), pa.array(values)],
+                names=["case_name", "status", "value"],
+            )
+
+    return df.mapInArrow(fn, schema=out_schema)
+
+
+_ERROR_ORACLE_ROWS = ", ".join(
+    f"('{c}', '{s}', " + (f"'{v}'" if v is not None else "NULL::VARCHAR") + ")"
+    for c, _, _, s, v in _ERROR_CASES
+)
+
+
 # --------------------------------------------------------------------------
 # lineage / metrics (rows-only check: aggregates of engine-internal sizes)
+
+
+def q_store_roundtrip_colocated(spark, sf_dir):
+    """The production read path end to end: encode -> EncodedStore.commit
+    (chunk-partitioned parquet + manifest lineage) -> manifest-gated
+    read_encoded -> decode_table_colocated (zero-exchange mapInArrow over
+    the store layout).  Oracle = identity select (bit-identical decode)."""
+    import tempfile
+
+    from .operators import decode_table_colocated
+    from .sources.checkpoint import EncodedStore
+
+    df = _read(spark, sf_dir, "documents")
+    store = EncodedStore(spark, tempfile.mkdtemp(prefix="vss_storeq_"))
+    store.commit(encode_table(df, key="doc_id", n_chunks=8))
+    return decode_table_colocated(store.read_encoded()).drop("__chunk")
 
 
 def q_compression_metrics_lineitem(spark, sf_dir):
@@ -249,6 +337,8 @@ QUERIES = {
     "nulls_roundtrip_events": q_nulls_roundtrip_events,
     "props_roundtrip_events": q_props_roundtrip_events,
     "codec_size_rollup": q_codec_size_rollup,
+    "decode_error_semantics": q_decode_error_semantics,
+    "store_roundtrip_colocated": q_store_roundtrip_colocated,
     "compression_metrics_lineitem": q_compression_metrics_lineitem,
     **PIPELINE_QUERIES,
 }
@@ -297,6 +387,11 @@ ORACLES = {
         f"CAST(SUM({_VLEN_CASE_CUST}) AS BIGINT) AS varint_bytes "
         "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
     ),
+    "decode_error_semantics": (
+        f"SELECT * FROM (VALUES {_ERROR_ORACLE_ROWS}) "
+        "AS t(case_name, status, value)"
+    ),
+    "store_roundtrip_colocated": "SELECT * FROM documents",
     # compression_metrics_lineitem: engine-internal — rows-only check
     **PIPELINE_ORACLES,
 }

@@ -38,12 +38,34 @@ ICEBERG_CONF = {
 }
 
 
+def iceberg_runtime_available(spark: SparkSession) -> bool:
+    """True when the iceberg-spark-runtime jar is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
 class EncodedStore:
-    def __init__(self, spark: SparkSession, root: str):
+    """``iceberg_table``: route writes through an Iceberg table (requires
+    the iceberg-spark-runtime jar + ICEBERG_CONF catalog settings).  This
+    sandbox has no jar, so ONLY the parquet backend is runtime-verified;
+    the Iceberg path is interface-checked and fails fast with a clear
+    error when the runtime is absent."""
+
+    def __init__(self, spark: SparkSession, root: str, iceberg_table: str | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self.enc_path = f"{self.root}/encoded"
         self.manifest_path = f"{self.root}/manifest"
+        self.iceberg_table = iceberg_table
+        if iceberg_table is not None and not iceberg_runtime_available(spark):
+            raise RuntimeError(
+                "Iceberg backend requested but the iceberg-spark-runtime jar "
+                "is not on the classpath; add it (and ICEBERG_CONF catalog "
+                "settings) or use the parquet backend (iceberg_table=None)"
+            )
 
     # -- manifest -----------------------------------------------------------
 
@@ -76,13 +98,19 @@ class EncodedStore:
         # critically, no re-read of the whole store (at 100 TB a commit must
         # cost O(this run), not O(store)).
         enc = enc.persist()
-        (
-            enc.repartition("chunk_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("chunk_id")
-            .parquet(self.enc_path)
-        )
+        if self.iceberg_table is not None:
+            # Iceberg path (UNVERIFIED in this sandbox — no runtime jar; the
+            # constructor fails fast when the jar is absent): atomic
+            # partition-overwrite append with snapshot isolation for free.
+            enc.repartition("chunk_id").writeTo(self.iceberg_table).overwritePartitions()
+        else:
+            (
+                enc.repartition("chunk_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("chunk_id")
+                .parquet(self.enc_path)
+            )
         lineage = enc.groupBy("chunk_id").agg(
             F.sum("n_values").alias("n_values"),
             F.sum("raw_bytes").alias("raw_bytes"),
