@@ -75,6 +75,13 @@ def main() -> None:
     timed("encode_web_pages", lambda: encode_table(wp, key="url", n_chunks=n_chunks)
           .write.partitionBy("chunk_id")
           .mode("overwrite").parquet(f"{tmp}/wp_enc"))
+    # ingest configuration: shuffle-free per-split encode (zero exchanges)
+    from varint_simd_spark.operators.encode import encode_table_per_split
+
+    timed("encode_web_pages_per_split", lambda: encode_table_per_split(wp, key="url")
+          .write.partitionBy("chunk_id").mode("overwrite").parquet(f"{tmp}/wp_enc_split"))
+    bytes_processed["encode_web_pages_per_split"] = raw_wp
+
     enc_wp = spark.read.parquet(f"{tmp}/wp_enc")
     meta_wp = column_meta(enc_wp)
     timed("decode_web_pages", lambda: decode_table_colocated(enc_wp, meta=meta_wp)

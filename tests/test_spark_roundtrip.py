@@ -187,3 +187,109 @@ def test_payload_corruption_detected(spark, tmp_path):
     with pytest.raises(Exception, match="corruption|PythonException") as ei2:
         decode_table_colocated(spark.read.parquet(store)).count()
     assert "payload corruption" in str(ei2.value)
+
+
+def test_zone_map_prunes_chunks_and_stays_exact(spark):
+    """Zone-map pruning (prune_chunks_by_range) must (a) keep the result
+    identical to the unpruned decode+filter, (b) actually eliminate chunks
+    when the data is clustered on the filter column, (c) never prune
+    string columns or chunks without stats (soundness)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators import prune_chunks_by_range
+
+    # warc_ts is near-sorted by page_id => day-bucket chunking clusters it
+    wp = generate_web_pages(spark, 20_000, seed=11).withColumn(
+        "__day", F.to_date("warc_ts").cast("string")
+    )
+    cols = ["url", "warc_ts", "text", "lang"]
+    enc = encode_table(wp, key="__day", columns=cols, n_chunks=12).cache()
+    total_chunks = enc.select("chunk_id").distinct().count()
+
+    lo = spark.sql("SELECT unix_micros(TIMESTAMP'2024-10-09 00:00:00')").collect()[0][0]
+    hi = spark.sql("SELECT unix_micros(TIMESTAMP'2024-10-10 00:00:00')").collect()[0][0]
+    pruned = prune_chunks_by_range(enc, "warc_ts", lo=lo, hi=hi)
+    kept_chunks = pruned.select("chunk_id").distinct().count()
+    assert kept_chunks < total_chunks, (kept_chunks, total_chunks)
+
+    pred = (F.col("warc_ts") >= F.expr("TIMESTAMP'2024-10-09 00:00:00'")) & (
+        F.col("warc_ts") < F.expr("TIMESTAMP'2024-10-10 00:00:00'")
+    )
+    a = (
+        decode_table(pruned).filter(pred).drop("__chunk")
+        .toPandas().sort_values("url", ignore_index=True)
+    )
+    b = (
+        decode_table(enc).filter(pred).drop("__chunk")
+        .toPandas().sort_values("url", ignore_index=True)
+    )
+    assert len(a) == len(b) > 0
+    assert (a["url"] == b["url"]).all() and (a["text"] == b["text"]).all()
+
+    # string column => no zone map => pruning keeps everything (sound)
+    keep_all = prune_chunks_by_range(enc, "text", lo=0, hi=1)
+    assert keep_all.select("chunk_id").distinct().count() == total_chunks
+
+    # stats sanity: every int-family row carries valid JSON, strings none
+    rows = enc.select("column", "dtype", "stats").collect()
+    for r in rows:
+        if r["dtype"] in ("str", "bin"):
+            assert r["stats"] is None
+        else:
+            s = json.loads(r["stats"])
+            assert s["min"] <= s["max"]
+    enc.unpersist()
+
+
+def test_per_split_encode_shuffle_free_roundtrip(spark, tmp_path):
+    """The ingest encode path (encode_table_per_split) must have ZERO
+    exchanges, round-trip bit-identically, and be stable across runs on
+    the same layout (deterministic chunk ids)."""
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators.encode import encode_table_per_split
+
+    wp = generate_web_pages(spark, 8000, seed=3)
+    wp.write.mode("overwrite").parquet(str(tmp_path / "wp"))
+    wp = spark.read.parquet(str(tmp_path / "wp"))
+
+    enc = encode_table_per_split(wp, key="url", target_chunk_bytes=1 << 20)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+
+    out = decode_table(enc).drop("__chunk").toPandas().sort_values("url", ignore_index=True)
+    src = wp.toPandas().sort_values("url", ignore_index=True)
+    assert len(out) == len(src)
+    assert (out["text"] == src["text"]).all() and (out["html"] == src["html"]).all()
+
+    # same layout => same chunk ids (deterministic ingest identity)
+    ids_a = sorted(r["chunk_id"] for r in enc.select("chunk_id").distinct().collect())
+    enc2 = encode_table_per_split(wp, key="url", target_chunk_bytes=1 << 20)
+    ids_b = sorted(r["chunk_id"] for r in enc2.select("chunk_id").distinct().collect())
+    assert ids_a == ids_b and len(ids_a) > 1
+
+
+def test_decode_aggregate_pushdown_exact(spark):
+    """decode_aggregate computes exact sums/counts without shipping decoded
+    rows, including int64-overflowing domains (epoch micros x 20k rows)."""
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators.encode import decode_aggregate
+
+    wp = generate_web_pages(spark, 20_000, seed=5)
+    enc = encode_table(wp, key="url", n_chunks=8)
+    agg = {r["column"]: r for r in decode_aggregate(enc, columns=["warc_ts", "text"]).collect()}
+
+    exp = wp.select(
+        # decimal BEFORE the sum: the int64 sum of 20k epoch-micros
+        # overflows and ANSI mode (Spark 4 default) would error
+        F.sum(F.unix_micros("warc_ts").cast("decimal(38,0)")).alias("ts_sum"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["warc_ts"]["n_rows"] == exp["n"] == agg["text"]["n_rows"]
+    assert agg["warc_ts"]["sum_exact"] == str(exp["ts_sum"])
+    assert agg["text"]["sum_bytes"] == exp["text_bytes"]
+    assert agg["warc_ts"]["n_nulls"] == 0

@@ -294,6 +294,42 @@ _ERROR_ORACLE_ROWS = ", ".join(
 # lineage / metrics (rows-only check: aggregates of engine-internal sizes)
 
 
+def q_zone_map_prune_events(spark, sf_dir):
+    """Zone-map chunk pruning: events chunked by day bucket, a 3-day ts
+    range query prunes non-overlapping chunks BEFORE any payload decode
+    (min/max stats filter -> anti-join), then the exact predicate applies
+    row-level.  Oracle = plain SQL range filter."""
+    from .operators import prune_chunks_by_range
+
+    df = _read(spark, sf_dir, "events").withColumn(
+        "__day", F.to_date("ts").cast("string")
+    )
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    enc = encode_table(df, key="__day", columns=cols, n_chunks=16)
+    lo = "2024-01-10 00:00:00"
+    hi = "2024-01-13 00:00:00"
+    lo_us = spark.sql(f"SELECT unix_micros(TIMESTAMP'{lo}')").collect()[0][0]
+    hi_us = spark.sql(f"SELECT unix_micros(TIMESTAMP'{hi}')").collect()[0][0]
+    pruned = prune_chunks_by_range(enc, "ts", lo=lo_us, hi=hi_us)
+    return (
+        decode_table(pruned)
+        .filter((F.col("ts") >= F.lit(lo).cast("timestamp")) & (F.col("ts") < F.lit(hi).cast("timestamp")))
+        .drop("__chunk")
+    )
+
+
+def q_decode_aggregate_documents(spark, sf_dir):
+    """Aggregate pushdown through the codec layer: per-chunk partials are
+    computed inside the decode UDF — no decoded rows cross the Python->JVM
+    boundary.  Exact integer sums (arbitrary precision; no double drift);
+    string columns report total utf8 bytes."""
+    from .operators.encode import decode_aggregate
+
+    df = _read(spark, sf_dir, "documents")
+    enc = encode_table(df, key="doc_id", n_chunks=8)
+    return decode_aggregate(enc, columns=["doc_id", "n_chars", "text"])
+
+
 def q_store_roundtrip_colocated(spark, sf_dir):
     """The production read path end to end: encode -> EncodedStore.commit
     (chunk-partitioned parquet + manifest lineage) -> manifest-gated
@@ -339,6 +375,8 @@ QUERIES = {
     "codec_size_rollup": q_codec_size_rollup,
     "decode_error_semantics": q_decode_error_semantics,
     "store_roundtrip_colocated": q_store_roundtrip_colocated,
+    "zone_map_prune_events": q_zone_map_prune_events,
+    "decode_aggregate_documents": q_decode_aggregate_documents,
     "compression_metrics_lineitem": q_compression_metrics_lineitem,
     **PIPELINE_QUERIES,
 }
@@ -392,6 +430,24 @@ ORACLES = {
         "AS t(case_name, status, value)"
     ),
     "store_roundtrip_colocated": "SELECT * FROM documents",
+    "zone_map_prune_events": (
+        "SELECT event_id, ts, user_id, event_type, value FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-13 00:00:00'"
+    ),
+    "decode_aggregate_documents": (
+        "SELECT * FROM ("
+        "SELECT 'doc_id' AS \"column\", COUNT(*)::BIGINT AS n_rows, "
+        "(COUNT(*) - COUNT(doc_id))::BIGINT AS n_nulls, "
+        "CAST(SUM(doc_id) AS VARCHAR) AS sum_exact, NULL::BIGINT AS sum_bytes FROM documents "
+        "UNION ALL "
+        "SELECT 'n_chars', COUNT(*)::BIGINT, (COUNT(*) - COUNT(n_chars))::BIGINT, "
+        "CAST(SUM(n_chars) AS VARCHAR), NULL::BIGINT FROM documents "
+        "UNION ALL "
+        "SELECT 'text', COUNT(*)::BIGINT, (COUNT(*) - COUNT(text))::BIGINT, "
+        "NULL::VARCHAR, SUM(strlen(text))::BIGINT FROM documents"  # strlen = BYTES in DuckDB
+        ") ORDER BY \"column\""
+    ),
     # compression_metrics_lineitem: engine-internal — rows-only check
     **PIPELINE_ORACLES,
 }

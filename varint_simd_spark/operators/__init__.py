@@ -7,6 +7,7 @@ from .encode import (
     decode_table,
     decode_table_colocated,
     encode_table,
+    prune_chunks_by_range,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "decode_table",
     "decode_table_colocated",
     "encode_table",
+    "prune_chunks_by_range",
 ]

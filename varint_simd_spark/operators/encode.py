@@ -58,6 +58,10 @@ ENCODED_SCHEMA = T.StructType(
         T.StructField("enc_bytes", T.LongType()),
         T.StructField("crc32", T.LongType()),
         T.StructField("reason", T.StringType()),
+        # zone map: JSON {"min": x, "max": y} in the int64 domain for
+        # integer-family columns (ints/ts/date/bool/f64-as-ordered-double);
+        # null for string/binary and all-null chunks
+        T.StructField("stats", T.StringType()),
     ]
 )
 
@@ -76,6 +80,7 @@ _ENC_ARROW = pa.schema(
         ("enc_bytes", pa.int64()),
         ("crc32", pa.int64()),
         ("reason", pa.string()),
+        ("stats", pa.string()),
     ]
 )
 
@@ -111,6 +116,34 @@ def _ref_and_raw_bytes(arr: pa.Array, tag: str) -> tuple[int, int]:
     return int(varint.varint_len(zigzag(v)).sum()), 8 * len(arr)
 
 
+def _zone_map(arr: pa.Array, tag: str) -> str | None:
+    """JSON min/max for the zone map (integer-family columns only; the
+    int64/double domain keeps Spark-side comparisons exact).  None for
+    strings/binary and all-null chunks — absence of a zone map means the
+    chunk can never be pruned, so this is always sound."""
+    if tag in STR_TAGS or arr.null_count == len(arr):
+        return None
+    mm = pc.min_max(arr)
+    lo, hi = mm["min"], mm["max"]
+    if tag == "ts_us":
+        lo = lo.cast(pa.timestamp("us")).value
+        hi = hi.cast(pa.timestamp("us")).value
+    elif tag == "date_d":
+        lo = lo.cast(pa.int32()).as_py()
+        hi = hi.cast(pa.int32()).as_py()
+    elif tag == "bool":
+        lo, hi = int(lo.as_py()), int(hi.as_py())
+    else:
+        lo, hi = lo.as_py(), hi.as_py()
+        if tag == "f64":
+            import math
+
+            # NaN/inf are not valid strict JSON and poison ordering
+            if not (math.isfinite(lo) and math.isfinite(hi)):
+                return None
+    return json.dumps({"min": lo, "max": hi})
+
+
 def make_encode_chunk_fn(columns: list[str], codecs: dict[str, str], sort_key: str | None):
     """Build the applyInArrow chunk encoder (closure shipped to executors)."""
 
@@ -143,6 +176,7 @@ def make_encode_chunk_fn(columns: list[str], codecs: dict[str, str], sort_key: s
             cols["enc_bytes"].append(len(payload))
             cols["crc32"].append(zlib.crc32(payload))
             cols["reason"].append(reason)
+            cols["stats"].append(_zone_map(arr, tag))
         return pa.table(cols, schema=_ENC_ARROW)
 
     return encode_chunk
@@ -180,6 +214,92 @@ def encode_table(
         .groupBy("__chunk")
         .applyInArrow(fn, schema=ENCODED_SCHEMA)
     )
+
+
+def encode_table_per_split(
+    df: DataFrame,
+    key: str,
+    columns: list[str] | None = None,
+    codecs: dict[str, str] | None = None,
+    target_chunk_bytes: int = 32 << 20,
+) -> DataFrame:
+    """SHUFFLE-FREE ingest encode: each scan partition's Arrow batches are
+    packed into ~``target_chunk_bytes`` chunks and encoded in place — zero
+    exchanges, so encode throughput scales with scan parallelism only.
+
+    This is the 100 TB ingest path: re-encoding a crawl table should not
+    shuffle the whole table; it encodes per input split, exactly like a
+    columnar writer.  The trade-offs vs :func:`encode_table`:
+
+    * chunk membership follows the INPUT FILE LAYOUT (stable for immutable
+      files, e.g. closed crawl segments), not a pure function of row
+      values — use the hash-chunk path (or :func:`compact_store`) when you
+      need layout-independent resume/verify identities;
+    * no global clustering by key — rows are key-sorted *within* each
+      chunk, so run/delta locality still holds locally.
+
+    chunk_id = low 63 bits of blake2b(first key || n_rows || batch ordinal)
+    — deterministic for a fixed layout, collision-safe at billions of
+    chunks (64-bit digest space, vs crc32's ~77k birthday bound)."""
+    import hashlib
+
+    columns = columns or df.columns
+    codecs = codecs or {}
+    select_cols = list(columns) + ([key] if key not in columns else [])
+
+    def fn(batches):
+        buf: list[pa.RecordBatch] = []
+        buf_bytes = 0
+        ordinal = 0
+
+        def flush():
+            nonlocal buf, buf_bytes, ordinal
+            table = pa.Table.from_batches(buf)
+            buf, buf_bytes = [], 0
+            table = table.take(pc.sort_indices(table[key]))
+            first_key = table[key][0].as_py()
+            h = hashlib.blake2b(
+                repr((first_key, table.num_rows, ordinal)).encode(), digest_size=8
+            )
+            ordinal += 1
+            chunk_id = int.from_bytes(h.digest(), "big") >> 1  # 63-bit, non-negative
+            cols: dict[str, list] = {k.name: [] for k in _ENC_ARROW}
+            for idx, col in enumerate(columns):
+                arr = table[col].combine_chunks()
+                want = codecs.get(col, "auto")
+                cache = None
+                if want == "auto":
+                    codec, reason, _stats = choose_codec_arrow(arr)
+                    cache = _stats.get("_cache")
+                else:
+                    codec, reason = want, "forced"
+                tag, payload, params = encode_column_arrow(arr, codec, cache=cache)
+                ref_b, raw_b = _ref_and_raw_bytes(arr, tag)
+                cols["chunk_id"].append(chunk_id)
+                cols["col_idx"].append(idx)
+                cols["column"].append(col)
+                cols["dtype"].append(tag)
+                cols["codec"].append(codec)
+                cols["params"].append(json.dumps(params))
+                cols["payload"].append(payload)
+                cols["n_values"].append(len(arr))
+                cols["raw_bytes"].append(raw_b)
+                cols["ref_bytes"].append(ref_b)
+                cols["enc_bytes"].append(len(payload))
+                cols["crc32"].append(zlib.crc32(payload))
+                cols["reason"].append(reason)
+                cols["stats"].append(_zone_map(arr, tag))
+            return pa.table(cols, schema=_ENC_ARROW).to_batches()
+
+        for batch in batches:
+            buf.append(batch)
+            buf_bytes += batch.nbytes
+            if buf_bytes >= target_chunk_bytes:
+                yield from flush()
+        if buf:
+            yield from flush()
+
+    return df.select(*select_cols).mapInArrow(fn, schema=ENCODED_SCHEMA)
 
 
 def column_meta(enc: DataFrame) -> list:
@@ -364,6 +484,136 @@ def decode_table_colocated(
             )
 
     return enc.mapInArrow(fn, schema=out_schema)
+
+
+_AGG_SCHEMA = T.StructType(
+    [
+        T.StructField("column", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_nulls", T.LongType()),
+        T.StructField("sum_exact", T.StringType()),
+        T.StructField("sum_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_aggregate(enc: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Aggregate pushdown through the codec layer: per-(chunk, column)
+    partials are computed INSIDE the decode UDF, so no decoded rows ever
+    cross the Python->JVM boundary — the UDF output is one tiny row per
+    encoded chunk row.  At 100 TB this is the difference between shipping
+    the decoded table over Arrow IPC and shipping a few numbers per chunk.
+
+    Returns one row per column: ``n_rows`` (incl. nulls), ``n_nulls``,
+    ``sum_exact`` (exact integer sum as a string — int64/bool/ts-micros/
+    date-days domains; arbitrary-precision, no double drift; null for
+    float/string), ``sum_bytes`` (total utf8/binary bytes, strings only).
+
+    Needs no chunk colocation: every encoded row decodes independently."""
+    if columns is not None:
+        enc = enc.filter(F.col("column").isin(list(columns)))
+
+    def fn(batches):
+        for batch in batches:
+            out = {k.name: [] for k in _AGG_SCHEMA.fields}
+            tags = batch.column("dtype")  # mapInArrow always feeds RecordBatches
+            for i, (name, codec, payload, params, _crc, _cid, nv) in enumerate(
+                _iter_enc_rows(batch)
+            ):
+                arr = decode_column_arrow(
+                    tags[i].as_py(), codec, payload, json.loads(params), nv
+                )
+                n_nulls = arr.null_count
+                sum_exact = None
+                sum_bytes = None
+                t = arr.type
+                if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                    sum_bytes = int(pc.sum(pc.binary_length(arr)).as_py() or 0)
+                elif pa.types.is_floating(t):
+                    pass  # fp sums are order-dependent; not exposed exactly
+                else:
+                    if pa.types.is_timestamp(t):
+                        v = arr.cast(pa.int64())
+                    elif pa.types.is_date(t):
+                        v = arr.cast(pa.int32()).cast(pa.int64())
+                    elif pa.types.is_boolean(t):
+                        v = arr.cast(pa.int64())
+                    else:
+                        v = arr.cast(pa.int64())
+                    # Arrow sums in an int64 accumulator, which WRAPS for
+                    # realistic inputs (e.g. 400k epoch-micros ≈ 7e20):
+                    # bound-check first, fall back to exact Python-int sum
+                    mm = pc.min_max(v)
+                    lo_, hi_ = mm["min"].as_py(), mm["max"].as_py()
+                    if lo_ is None:
+                        sum_exact = "0"
+                    elif max(abs(lo_), abs(hi_)) * max(int(nv), 1) < (1 << 62):
+                        sum_exact = str(int(pc.sum(v, min_count=0).as_py() or 0))
+                    else:
+                        vv = v.drop_null().to_numpy(zero_copy_only=False)
+                        sum_exact = str(int(vv.astype(object).sum()) if vv.size else 0)
+                out["column"].append(name)
+                out["n_rows"].append(int(nv))
+                out["n_nulls"].append(int(n_nulls))
+                out["sum_exact"].append(sum_exact)
+                out["sum_bytes"].append(sum_bytes)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["column"], type=pa.string()),
+                    pa.array(out["n_rows"], type=pa.int64()),
+                    pa.array(out["n_nulls"], type=pa.int64()),
+                    pa.array(out["sum_exact"], type=pa.string()),
+                    pa.array(out["sum_bytes"], type=pa.int64()),
+                ],
+                names=[f.name for f in _AGG_SCHEMA.fields],
+            )
+
+    partials = enc.mapInArrow(fn, schema=_AGG_SCHEMA)
+    return (
+        partials.groupBy("column")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_nulls").alias("n_nulls"),
+            F.sum(F.col("sum_exact").cast("decimal(38,0)")).cast("string").alias("sum_exact"),
+            F.sum("sum_bytes").alias("sum_bytes"),
+        )
+        .orderBy("column")
+    )
+
+
+def prune_chunks_by_range(
+    enc: DataFrame, column: str, lo=None, hi=None
+) -> DataFrame:
+    """Zone-map chunk pruning: drop every chunk whose [min, max] for
+    ``column`` cannot intersect [lo, hi] (classic columnar range-scan
+    elimination — at 100 TB a time-range query touches the handful of
+    chunks whose warc_ts zone overlaps, not the table).
+
+    Sound by construction: chunks lacking a zone map (string columns,
+    all-null, pre-zone-map stores) are always kept.  Values are compared in
+    the zone map's int64/double domain: pass epoch MICROS for timestamps,
+    epoch days for dates, the raw number otherwise.  Returns the filtered
+    encoded DataFrame (all columns of surviving chunks) — decode, then
+    apply the exact row-level predicate."""
+    zmin = F.get_json_object("stats", "$.min").cast("double")
+    zmax = F.get_json_object("stats", "$.max").cast("double")
+    # double rounding slack (int64 zone values above 2^53 round in the
+    # cast): widen every comparison so rounding can only KEEP extra chunks,
+    # never wrongly prune — soundness over selectivity at the boundary
+    def _slack(bound: float, z) -> F.Column:
+        return (F.abs(z) + F.lit(abs(float(bound)))) * F.lit(2.3e-16) + F.lit(1e-9)
+
+    keep = F.lit(True)
+    if hi is not None:
+        keep = keep & (zmin <= F.lit(float(hi)) + _slack(hi, zmin))
+    if lo is not None:
+        keep = keep & (zmax >= F.lit(float(lo)) - _slack(lo, zmax))
+    has_stats = F.col("column").eqNullSafe(F.lit(column)) & F.col("stats").isNotNull()
+    # chunk survives unless ITS stats row for `column` proves non-overlap
+    doomed = (
+        enc.filter(has_stats & ~keep).select("chunk_id").distinct()
+    )
+    return enc.join(F.broadcast(doomed), "chunk_id", "left_anti")
 
 
 def chunk_metrics(enc: DataFrame) -> DataFrame:
