@@ -44,15 +44,27 @@ def test_incremental_encode_stream(spark, tmp_path):
     assert len(out) == len(src)
     assert (out["text"] == src["text"]).all()
 
-    # batch work is bounded to new data: batch 1 (second drop) owns chunk-id
-    # range [8, 16) and did NOT touch batch 0's chunks — batch-0 manifest
-    # rows keep their original snapshot, exactly one commit per chunk
+    # batch work is bounded to new data: batch 1 (second drop) owns its own
+    # hashed chunk-id set and did NOT touch batch 0's chunks — batch-0
+    # manifest rows keep their original snapshot, one commit per chunk
+    from varint_simd_spark.streaming.incremental import _stream_chunk_id
+
+    ids0 = {_stream_chunk_id(0, 8, i) for i in range(8)}
+    ids1 = {_stream_chunk_id(1, 8, i) for i in range(8)}
     m = store.manifest().toPandas()
-    batch0 = m[m["chunk_id"] < 8]
-    batch1 = m[m["chunk_id"] >= 8]
-    assert len(batch0) == 8 and len(batch1) == 8
+    batch0 = m[m["chunk_id"].isin(ids0)]
+    batch1 = m[m["chunk_id"].isin(ids1)]
+    assert len(batch0) == 8 and len(batch1) == 8 and len(m) == 16
     assert set(batch0["snapshot_id"]) == {snap0}
     assert m.groupby("chunk_id").size().max() == 1
+
+    # n_chunks is locked to the store: a restart with a different value
+    # must fail fast instead of re-keying a replay
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="locked"):
+        encode_stream(spark, inp, store, schema, key="url", n_chunks=4,
+                      checkpoint_dir=ckpt, available_now=True)
 
 
 def test_compact_store(spark, tmp_path):

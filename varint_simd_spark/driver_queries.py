@@ -335,13 +335,21 @@ def q_store_roundtrip_colocated(spark, sf_dir):
     (chunk-partitioned parquet + manifest lineage) -> manifest-gated
     read_encoded -> decode_table_colocated (zero-exchange mapInArrow over
     the store layout).  Oracle = identity select (bit-identical decode)."""
+    import hashlib
     import tempfile
 
     from .operators import decode_table_colocated
     from .sources.checkpoint import EncodedStore
 
     df = _read(spark, sf_dir, "documents")
-    store = EncodedStore(spark, tempfile.mkdtemp(prefix="vss_storeq_"))
+    # stable per-(sf_dir) path, overwritten each run — repeated bench/test
+    # invocations must not accumulate encoded copies in /tmp
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    root = f"{tempfile.gettempdir()}/vss_storeq_{tag}"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # fresh store, no manifest growth
+    store = EncodedStore(spark, root)
     store.commit(encode_table(df, key="doc_id", n_chunks=8))
     return decode_table_colocated(store.read_encoded()).drop("__chunk")
 

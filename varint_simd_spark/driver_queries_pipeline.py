@@ -137,12 +137,15 @@ def q_ann_topk_lsh(spark, sf_dir):
     """Stored-index ANN: write the multi-table LSH index (partitioned by
     bucket), probe it — the scan prunes to probe buckets via
     PartitionFilters instead of computing signatures for every row."""
+    import hashlib
     import tempfile
 
     from .functions.similarity import ann_topk_indexed, write_ann_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    path = tempfile.mkdtemp(prefix="vss_ann_") + "/idx"
+    # stable per-(sf_dir) path (mode=overwrite) — no /tmp accumulation
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    path = f"{tempfile.gettempdir()}/vss_ann_{tag}/idx"
     write_ann_index(emb, path, n_planes=10, n_tables=6)
     idx = spark.read.parquet(path)
     out = ann_topk_indexed(idx, QUERY_VEC, k=10, n_planes=10, n_tables=6)

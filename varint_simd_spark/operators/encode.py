@@ -144,6 +144,41 @@ def _zone_map(arr: pa.Array, tag: str) -> str | None:
     return json.dumps({"min": lo, "max": hi})
 
 
+def _encode_columns_to_rows(
+    table: pa.Table, columns: list[str], codecs: dict[str, str], chunk_id: int
+) -> pa.Table:
+    """Encode ``columns`` of one (already chunk-assigned, already sorted)
+    Arrow table into encoded-chunk rows — the single implementation of the
+    encoded-row contract, shared by every encode topology."""
+    cols: dict[str, list] = {k.name: [] for k in _ENC_ARROW}
+    for idx, col in enumerate(columns):
+        arr = table[col].combine_chunks()
+        want = codecs.get(col, "auto")
+        cache = None
+        if want == "auto":
+            codec, reason, _stats = choose_codec_arrow(arr)
+            cache = _stats.get("_cache")
+        else:
+            codec, reason = want, "forced"
+        tag, payload, params = encode_column_arrow(arr, codec, cache=cache)
+        ref_b, raw_b = _ref_and_raw_bytes(arr, tag)
+        cols["chunk_id"].append(chunk_id)
+        cols["col_idx"].append(idx)
+        cols["column"].append(col)
+        cols["dtype"].append(tag)
+        cols["codec"].append(codec)
+        cols["params"].append(json.dumps(params))
+        cols["payload"].append(payload)
+        cols["n_values"].append(len(arr))
+        cols["raw_bytes"].append(raw_b)
+        cols["ref_bytes"].append(ref_b)
+        cols["enc_bytes"].append(len(payload))
+        cols["crc32"].append(zlib.crc32(payload))
+        cols["reason"].append(reason)
+        cols["stats"].append(_zone_map(arr, tag))
+    return pa.table(cols, schema=_ENC_ARROW)
+
+
 def make_encode_chunk_fn(columns: list[str], codecs: dict[str, str], sort_key: str | None):
     """Build the applyInArrow chunk encoder (closure shipped to executors)."""
 
@@ -151,33 +186,7 @@ def make_encode_chunk_fn(columns: list[str], codecs: dict[str, str], sort_key: s
         chunk_id = int(table["__chunk"][0].as_py())
         if sort_key is not None:
             table = table.take(pc.sort_indices(table[sort_key]))
-        cols: dict[str, list] = {k.name: [] for k in _ENC_ARROW}
-        for idx, col in enumerate(columns):
-            arr = table[col].combine_chunks()
-            want = codecs.get(col, "auto")
-            cache = None
-            if want == "auto":
-                codec, reason, _stats = choose_codec_arrow(arr)
-                cache = _stats.get("_cache")
-            else:
-                codec, reason = want, "forced"
-            tag, payload, params = encode_column_arrow(arr, codec, cache=cache)
-            ref_b, raw_b = _ref_and_raw_bytes(arr, tag)
-            cols["chunk_id"].append(chunk_id)
-            cols["col_idx"].append(idx)
-            cols["column"].append(col)
-            cols["dtype"].append(tag)
-            cols["codec"].append(codec)
-            cols["params"].append(json.dumps(params))
-            cols["payload"].append(payload)
-            cols["n_values"].append(len(arr))
-            cols["raw_bytes"].append(raw_b)
-            cols["ref_bytes"].append(ref_b)
-            cols["enc_bytes"].append(len(payload))
-            cols["crc32"].append(zlib.crc32(payload))
-            cols["reason"].append(reason)
-            cols["stats"].append(_zone_map(arr, tag))
-        return pa.table(cols, schema=_ENC_ARROW)
+        return _encode_columns_to_rows(table, columns, codecs, chunk_id)
 
     return encode_chunk
 
@@ -238,16 +247,25 @@ def encode_table_per_split(
     * no global clustering by key — rows are key-sorted *within* each
       chunk, so run/delta locality still holds locally.
 
-    chunk_id = low 63 bits of blake2b(first key || n_rows || batch ordinal)
-    — deterministic for a fixed layout, collision-safe at billions of
-    chunks (64-bit digest space, vs crc32's ~77k birthday bound)."""
+    chunk_id = low 63 bits of blake2b(partition id || ordinal-in-partition
+    || first key || n_rows) — deterministic for a fixed layout; the
+    partition id makes ids unique ACROSS scan partitions (ordinal alone
+    resets per task, and (first_key, n_rows) recur for duplicate-keyed
+    data with uniform Arrow batch sizes)."""
     import hashlib
+
+    from pyspark import TaskContext
 
     columns = columns or df.columns
     codecs = codecs or {}
+    unknown = set(codecs) - set(columns)
+    if unknown:
+        raise ValueError(f"codecs for unknown columns: {sorted(unknown)}")
     select_cols = list(columns) + ([key] if key not in columns else [])
 
     def fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
         buf: list[pa.RecordBatch] = []
         buf_bytes = 0
         ordinal = 0
@@ -259,37 +277,12 @@ def encode_table_per_split(
             table = table.take(pc.sort_indices(table[key]))
             first_key = table[key][0].as_py()
             h = hashlib.blake2b(
-                repr((first_key, table.num_rows, ordinal)).encode(), digest_size=8
+                repr((pid, ordinal, first_key, table.num_rows)).encode(),
+                digest_size=8,
             )
             ordinal += 1
             chunk_id = int.from_bytes(h.digest(), "big") >> 1  # 63-bit, non-negative
-            cols: dict[str, list] = {k.name: [] for k in _ENC_ARROW}
-            for idx, col in enumerate(columns):
-                arr = table[col].combine_chunks()
-                want = codecs.get(col, "auto")
-                cache = None
-                if want == "auto":
-                    codec, reason, _stats = choose_codec_arrow(arr)
-                    cache = _stats.get("_cache")
-                else:
-                    codec, reason = want, "forced"
-                tag, payload, params = encode_column_arrow(arr, codec, cache=cache)
-                ref_b, raw_b = _ref_and_raw_bytes(arr, tag)
-                cols["chunk_id"].append(chunk_id)
-                cols["col_idx"].append(idx)
-                cols["column"].append(col)
-                cols["dtype"].append(tag)
-                cols["codec"].append(codec)
-                cols["params"].append(json.dumps(params))
-                cols["payload"].append(payload)
-                cols["n_values"].append(len(arr))
-                cols["raw_bytes"].append(raw_b)
-                cols["ref_bytes"].append(ref_b)
-                cols["enc_bytes"].append(len(payload))
-                cols["crc32"].append(zlib.crc32(payload))
-                cols["reason"].append(reason)
-                cols["stats"].append(_zone_map(arr, tag))
-            return pa.table(cols, schema=_ENC_ARROW).to_batches()
+            return _encode_columns_to_rows(table, columns, codecs, chunk_id).to_batches()
 
         for batch in batches:
             buf.append(batch)
@@ -590,11 +583,14 @@ def prune_chunks_by_range(
     chunks whose warc_ts zone overlaps, not the table).
 
     Sound by construction: chunks lacking a zone map (string columns,
-    all-null, pre-zone-map stores) are always kept.  Values are compared in
+    all-null, pre-zone-map stores — including stores whose schema predates
+    the stats field entirely) are always kept.  Values are compared in
     the zone map's int64/double domain: pass epoch MICROS for timestamps,
     epoch days for dates, the raw number otherwise.  Returns the filtered
     encoded DataFrame (all columns of surviving chunks) — decode, then
     apply the exact row-level predicate."""
+    if "stats" not in enc.columns:
+        return enc  # pre-zone-map store: nothing provably disjoint
     zmin = F.get_json_object("stats", "$.min").cast("double")
     zmax = F.get_json_object("stats", "$.max").cast("double")
     # double rounding slack (int64 zone values above 2^53 round in the

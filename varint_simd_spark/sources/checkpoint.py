@@ -98,37 +98,41 @@ class EncodedStore:
         # critically, no re-read of the whole store (at 100 TB a commit must
         # cost O(this run), not O(store)).
         enc = enc.persist()
-        if self.iceberg_table is not None:
-            # Iceberg path (UNVERIFIED in this sandbox — no runtime jar; the
-            # constructor fails fast when the jar is absent): atomic
-            # partition-overwrite append with snapshot isolation for free.
-            enc.repartition("chunk_id").writeTo(self.iceberg_table).overwritePartitions()
-        else:
-            (
-                enc.repartition("chunk_id")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("chunk_id")
-                .parquet(self.enc_path)
+        try:
+            if self.iceberg_table is not None:
+                # Iceberg path (UNVERIFIED in this sandbox — no runtime jar;
+                # the constructor fails fast when the jar is absent): atomic
+                # partition-overwrite append with snapshot isolation for free.
+                enc.repartition("chunk_id").writeTo(self.iceberg_table).overwritePartitions()
+            else:
+                (
+                    enc.repartition("chunk_id")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("chunk_id")
+                    .parquet(self.enc_path)
+                )
+            lineage = enc.groupBy("chunk_id").agg(
+                F.sum("n_values").alias("n_values"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.count("*").alias("n_columns"),
             )
-        lineage = enc.groupBy("chunk_id").agg(
-            F.sum("n_values").alias("n_values"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.count("*").alias("n_columns"),
-        )
-        if expected_chunks is not None:
-            planned = self.spark.createDataFrame(
-                [(int(c),) for c in expected_chunks], "chunk_id long"
+            if expected_chunks is not None:
+                planned = self.spark.createDataFrame(
+                    [(int(c),) for c in expected_chunks], "chunk_id long"
+                )
+                lineage = planned.join(lineage, "chunk_id", "left").fillna(
+                    0, subset=["n_values", "raw_bytes", "enc_bytes", "n_columns"]
+                )
+            lineage = lineage.withColumn("snapshot_id", F.lit(snapshot_id)).withColumn(
+                "committed_at", F.lit(time.time())
             )
-            lineage = planned.join(lineage, "chunk_id", "left").fillna(
-                0, subset=["n_values", "raw_bytes", "enc_bytes", "n_columns"]
-            )
-        lineage = lineage.withColumn("snapshot_id", F.lit(snapshot_id)).withColumn(
-            "committed_at", F.lit(time.time())
-        )
-        lineage.write.mode("append").parquet(self.manifest_path)
-        enc.unpersist()
+            lineage.write.mode("append").parquet(self.manifest_path)
+        finally:
+            # a failed write must not pin gigabytes of encoded payload in
+            # the block manager for the rest of the session
+            enc.unpersist()
         return snapshot_id
 
     def read_encoded(self, as_of_snapshot: str | None = None) -> DataFrame:
@@ -139,7 +143,10 @@ class EncodedStore:
         snapshot log).  Chunk *content* history is not retained by the
         parquet backend (dynamic overwrite replaces files); full
         content-level time travel is what the Iceberg backend adds."""
-        enc = self.spark.read.parquet(self.enc_path)
+        if self.iceberg_table is not None:
+            enc = self.spark.table(self.iceberg_table)
+        else:
+            enc = self.spark.read.parquet(self.enc_path)
         committed = self.manifest() if as_of_snapshot is not None else None
         if as_of_snapshot is not None:
             cutoff = (
