@@ -284,6 +284,56 @@ def q_decode_error_semantics(spark, sf_dir):
     return df.mapInArrow(fn, schema=out_schema)
 
 
+_UNSAFE_CASES = [
+    # (case, payload, width, expected_value) — unsafe decode truncates to
+    # width like the reference's cast_u32/cast_u64 (src/num.rs:74-81;
+    # doc src/decode/mod.rs:135-137, 776-788); truncation test
+    # src/lib.rs:211-222 analog
+    ("trunc_u8_300", b"\xac\x02", 8, "44"),      # 300 & 0xFF
+    ("trunc_u16_70000", b"\xf0\xa2\x04", 16, "4464"),  # 70000 & 0xFFFF
+    ("trunc_u32_2p32", b"\x80\x80\x80\x80\x10", 32, "0"),  # 2^32 & 0xFFFFFFFF
+    ("keep_u8_127", b"\x7f", 8, "127"),
+    ("keep_u64_max", b"\xff" * 9 + b"\x01", 64, "18446744073709551615"),
+]
+
+
+def q_decode_unsafe_semantics(spark, sf_dir):
+    """The reference's *_unsafe truncating-cast semantics end to end:
+    overlong varints decode with values masked to the target width instead
+    of erroring (safe=False), pinned against a constant-table oracle."""
+    import pyarrow as pa
+
+    from .kernels import varint as vk
+
+    df = spark.createDataFrame(
+        [(c, bytearray(p), w) for c, p, w, _ in _UNSAFE_CASES],
+        "case_name string, payload binary, width int",
+    )
+    out_schema = T.StructType(
+        [T.StructField("case_name", T.StringType()), T.StructField("value", T.StringType())]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            names = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            widths = batch.column(2).to_pylist()
+            vals = [
+                str(int(vk.decode(p, count=1, width=w, safe=False)[0]))
+                for p, w in zip(payloads, widths)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(names), pa.array(vals)], names=["case_name", "value"]
+            )
+
+    return df.mapInArrow(fn, schema=out_schema)
+
+
+_UNSAFE_ORACLE_ROWS = ", ".join(
+    f"('{c}', '{v}')" for c, _, _, v in _UNSAFE_CASES
+)
+
+
 _ERROR_ORACLE_ROWS = ", ".join(
     f"('{c}', '{s}', " + (f"'{v}'" if v is not None else "NULL::VARCHAR") + ")"
     for c, _, _, s, v in _ERROR_CASES
@@ -382,6 +432,7 @@ QUERIES = {
     "props_roundtrip_events": q_props_roundtrip_events,
     "codec_size_rollup": q_codec_size_rollup,
     "decode_error_semantics": q_decode_error_semantics,
+    "decode_unsafe_semantics": q_decode_unsafe_semantics,
     "store_roundtrip_colocated": q_store_roundtrip_colocated,
     "zone_map_prune_events": q_zone_map_prune_events,
     "decode_aggregate_documents": q_decode_aggregate_documents,
@@ -438,6 +489,9 @@ ORACLES = {
         "AS t(case_name, status, value)"
     ),
     "store_roundtrip_colocated": "SELECT * FROM documents",
+    "decode_unsafe_semantics": (
+        f"SELECT * FROM (VALUES {_UNSAFE_ORACLE_ROWS}) AS t(case_name, value)"
+    ),
     "zone_map_prune_events": (
         "SELECT event_id, ts, user_id, event_type, value FROM events "
         "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
