@@ -155,6 +155,31 @@ def test_ann_indexed_recall_and_pruning(spark, tmp_path):
     assert n_cand < 0.5 * data.count(), n_cand
 
 
+def test_ivf_index_recall_and_pruning(spark, tmp_path):
+    """IVF (k-means coarse quantizer) ANN: >=0.8 recall@10 on the seeded
+    cluster at nprobe=2, with cell pruning reaching the parquet scan."""
+    import re
+
+    from varint_simd_spark.functions.similarity import (
+        ivf_topk,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    data, q = _clustered_embeddings(spark)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(data, path, n_cells=8)
+    idx = spark.read.parquet(path)
+    cents = read_ivf_centroids(path)
+
+    exact = set(brute_force_topk(data, q, k=10).toPandas()["vec_id"])
+    res = ivf_topk(idx, cents, q, k=10, nprobe=2)
+    approx = set(res.toPandas()["vec_id"])
+    assert len(exact & approx) >= 8, (exact, approx)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*__cell", plan), plan[:1500]
+
+
 def test_ann_inline_matches_indexed(spark, tmp_path):
     """The inline (no stored index) path returns the same result set."""
     from varint_simd_spark.functions.similarity import ann_topk_indexed, write_ann_index

@@ -152,6 +152,24 @@ def q_ann_topk_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("cos", 6).alias("cos"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer): write the cell-partitioned
+    index + centroid sidecar, probe the 3 nearest cells, exact re-rank.
+    Rows-only check (k-means is not DuckDB-expressible)."""
+    import hashlib
+    import tempfile
+
+    from .functions.similarity import ivf_topk, read_ivf_centroids, write_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    path = f"{tempfile.gettempdir()}/vss_ivf_{tag}/idx"
+    write_ivf_index(emb, path, n_cells=16)
+    idx = spark.read.parquet(path)
+    out = ivf_topk(idx, read_ivf_centroids(path), QUERY_VEC, k=10, nprobe=3)
+    return out.select("vec_id", F.round("cos", 6).alias("cos"))
+
+
 def q_binary_meta(spark, sf_dir):
     from .sources.web_pages import generate_web_pages
 
@@ -204,6 +222,7 @@ PIPELINE_QUERIES = {
     "simhash_fingerprints_documents": q_simhash_fingerprints,
     "doc_fingerprints_documents": q_doc_fingerprints,
     "ann_topk_lsh_embeddings": q_ann_topk_lsh,
+    "ivf_topk_embeddings": q_ivf_topk,
     "binary_meta_web_pages": q_binary_meta,
     "multimodal_features_web_pages": q_multimodal_features,
 }

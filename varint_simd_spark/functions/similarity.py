@@ -278,3 +278,93 @@ def cosine_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-quantizer alternative to LSH
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means cells over the embedding column.
+
+    Returns ``(index_df, centroids)`` where index_df = (id, vector, __cell)
+    and centroids is a small driver-side list (ship it with the index —
+    :func:`write_ivf_index` stores it as a JSON sidecar).  Complementary to
+    the LSH index: IVF adapts to the data distribution (clustered
+    embeddings get tight cells), LSH is data-independent."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell").fit(feat)
+    index = model.transform(feat).select(id_col, vec_col, "__cell")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return index, centroids
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist the IVF index partitioned by cell (probes become parquet
+    PartitionFilters) plus a ``_centroids.json`` sidecar."""
+    import json
+    import os
+
+    index, centroids = build_ivf_index(df, vec_col, id_col, n_cells, seed)
+    index.write.partitionBy("__cell").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def read_ivf_centroids(path: str) -> list[list[float]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        return json.load(f)
+
+
+def ivf_topk(
+    index: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over an IVF index: rank cells by centroid distance
+    driver-side (tiny — n_cells vectors), scan only the ``nprobe`` nearest
+    cells (``__cell IN (...)`` prunes the partitioned index scan), exact
+    cosine re-rank inside."""
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d2 = ((C - q) ** 2).sum(axis=1)
+    probe_cells = [int(i) for i in np.argsort(d2)[:nprobe]]
+    cand = index.filter(F.col("__cell").isin(probe_cells))
+    qc = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine(F.col(vec_col).cast("array<double>"), qc).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
