@@ -210,3 +210,28 @@ def test_empty_chunks_commit_liveness(spark, tmp_path):
     _, n2 = encode_resumable(store, tiny, key="url", n_chunks=8)
     assert n1 == 8 and n2 == 0
     assert decode_table(store.read_encoded()).count() == 3
+
+
+def test_ingest_to_store_roundtrip(web_pages, spark, tmp_path):
+    """Per-split ingest into the store: zero-exchange encode, committed
+    manifest, bit-identical decode through the manifest-gated read."""
+    from varint_simd_spark.sources.checkpoint import ingest_to_store
+
+    # write input to parquet first (per-split ids are layout-deterministic)
+    inp = str(tmp_path / "wp_in")
+    web_pages.write.mode("overwrite").parquet(inp)
+    df = spark.read.parquet(inp)
+
+    store = EncodedStore(spark, str(tmp_path / "ingest_store"))
+    snap = ingest_to_store(store, df, key="url", target_chunk_bytes=1 << 20)
+    assert snap is not None
+
+    out = decode_table(store.read_encoded()).drop("__chunk").toPandas().sort_values("url", ignore_index=True)
+    src = df.toPandas().sort_values("url", ignore_index=True)
+    assert len(out) == len(src)
+    assert (out["text"] == src["text"]).all()
+
+    # manifest rows == chunks written, once each
+    m = store.manifest().toPandas()
+    n_chunks = store.read_encoded().select("chunk_id").distinct().count()
+    assert len(m) == n_chunks and m["chunk_id"].is_unique

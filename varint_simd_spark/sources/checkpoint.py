@@ -166,6 +166,31 @@ class EncodedStore:
         return enc.join(F.broadcast(chunks), on="chunk_id", how="left_semi")
 
 
+def ingest_to_store(
+    store: EncodedStore,
+    df: DataFrame,
+    key: str = "url",
+    codecs: dict[str, str] | None = None,
+    target_chunk_bytes: int = 32 << 20,
+) -> str:
+    """One-shot ingest: shuffle-free per-split encode straight into the
+    store (zero exchanges — the 100 TB ingest configuration).
+
+    Crash safety: chunk ids are deterministic for a fixed input layout, so
+    a re-run after a crash overwrites its own partial chunk files (dynamic
+    partition overwrite) and commits once — no duplicates.  Unlike
+    :func:`encode_resumable` there is no chunk-level skip list (ids are
+    not known before the encode runs); for incremental arrival use the
+    streaming path, and re-cluster with ``compact_store`` when the
+    url-hash layout is needed."""
+    from ..operators.encode import encode_table_per_split
+
+    enc = encode_table_per_split(
+        df, key=key, codecs=codecs, target_chunk_bytes=target_chunk_bytes
+    )
+    return store.commit(enc)
+
+
 def encode_resumable(
     store: EncodedStore,
     df: DataFrame,
