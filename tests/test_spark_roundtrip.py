@@ -293,3 +293,26 @@ def test_decode_aggregate_pushdown_exact(spark):
     assert agg["warc_ts"]["sum_exact"] == str(exp["ts_sum"])
     assert agg["text"]["sum_bytes"] == exp["text_bytes"]
     assert agg["warc_ts"]["n_nulls"] == 0
+
+
+def test_verify_roundtrip_detects_mismatch(spark):
+    """verify_roundtrip reports identical=true on a clean round trip and
+    flags a corrupted column (and ONLY that column) as non-identical."""
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators.verify import verify_roundtrip
+
+    wp = generate_web_pages(spark, 3000, seed=9)
+    enc = encode_table(wp, key="url", n_chunks=4)
+    dec = decode_table(enc).drop("__chunk")
+
+    clean = {r["column"]: r for r in verify_roundtrip(wp, dec, key="url").collect()}
+    assert all(r["identical"] for r in clean.values())
+    assert clean["text"]["n_match"] == 3000
+
+    corrupted = dec.withColumn(
+        "text", F.when(F.xxhash64("url") % 100 == 0, F.lit("CORRUPT")).otherwise(F.col("text"))
+    )
+    rep = {r["column"]: r for r in verify_roundtrip(wp, corrupted, key="url").collect()}
+    assert not rep["text"]["identical"] and rep["text"]["n_match"] < 3000
+    assert rep["lang"]["identical"] and rep["html"]["identical"]

@@ -404,6 +404,19 @@ def q_store_roundtrip_colocated(spark, sf_dir):
     return decode_table_colocated(store.read_encoded()).drop("__chunk")
 
 
+def q_verify_roundtrip_documents(spark, sf_dir):
+    """The north rule's correctness criterion as a first-class distributed
+    job: encode -> decode -> full-outer join back to source on the key ->
+    per-column null-safe exact-match counts.  All columns must report
+    identical=true."""
+    from .operators.verify import verify_roundtrip
+
+    df = _read(spark, sf_dir, "documents")
+    enc = encode_table(df, key="doc_id", n_chunks=8)
+    dec = decode_table(enc).drop("__chunk")
+    return verify_roundtrip(df, dec, key="doc_id")
+
+
 def q_compression_metrics_lineitem(spark, sf_dir):
     df = _read(spark, sf_dir, "lineitem")
     enc = encode_table(df, key="l_orderkey", n_chunks=8)
@@ -436,6 +449,7 @@ QUERIES = {
     "store_roundtrip_colocated": q_store_roundtrip_colocated,
     "zone_map_prune_events": q_zone_map_prune_events,
     "decode_aggregate_documents": q_decode_aggregate_documents,
+    "verify_roundtrip_documents": q_verify_roundtrip_documents,
     "compression_metrics_lineitem": q_compression_metrics_lineitem,
     **PIPELINE_QUERIES,
 }
@@ -509,6 +523,15 @@ ORACLES = {
         "SELECT 'text', COUNT(*)::BIGINT, (COUNT(*) - COUNT(text))::BIGINT, "
         "NULL::VARCHAR, SUM(strlen(text))::BIGINT FROM documents"  # strlen = BYTES in DuckDB
         ") ORDER BY \"column\""
+    ),
+    "verify_roundtrip_documents": (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", COUNT(*)::BIGINT AS n_rows, "
+            f"COUNT(*)::BIGINT AS n_match, TRUE AS identical FROM documents"
+            for c in ["lang", "n_chars", "source", "text"]
+        )
+        + ") ORDER BY \"column\""
     ),
     # compression_metrics_lineitem: engine-internal — rows-only check
     **PIPELINE_ORACLES,
