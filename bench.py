@@ -135,12 +135,14 @@ def main() -> None:
     # engine totals.)
     import subprocess
 
-    t0 = time.time()
-    wp.write.mode("overwrite").parquet(f"{tmp}/wp_native")
-    native_write = round(time.time() - t0, 3)
-    t0 = time.time()
-    spark.read.parquet(f"{tmp}/wp_native").agg(F.sum(F.length("text"))).collect()
-    native_read = round(time.time() - t0, 3)
+    native_write = native_read = float("inf")
+    for _ in range(2):  # best-of-2, same protocol as the engine queries
+        t0 = time.perf_counter()
+        wp.write.mode("overwrite").parquet(f"{tmp}/wp_native")
+        native_write = round(min(native_write, time.perf_counter() - t0), 3)
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{tmp}/wp_native").agg(F.sum(F.length("text"))).collect()
+        native_read = round(min(native_read, time.perf_counter() - t0), 3)
 
     def du(path):
         try:
