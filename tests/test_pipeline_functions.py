@@ -259,3 +259,55 @@ def test_minhash_arrow_shingle_hash_properties():
     assert h[0] == h[3]
     # shifted windows differ
     assert h[0] != h[1] and h[1] != h[2]
+
+
+def test_bpe_token_count_cross_engine(spark, docs):
+    """BPE-ish regex token counts agree bit-for-bit with the DuckDB oracle
+    (same pattern, Java regex vs RE2) and differ from whitespace counts."""
+    import duckdb
+
+    from varint_simd_spark.functions.text import (
+        bpe_token_count,
+        bpe_token_count_sql_duckdb,
+    )
+
+    a = (
+        docs.select("doc_id", bpe_token_count("text").alias("n"))
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    b = con.sql(
+        f"SELECT doc_id, {bpe_token_count_sql_duckdb('text')} AS n FROM documents ORDER BY doc_id"
+    ).df()
+    assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
+    # on punctuated text the BPE-ish count splits finer than whitespace
+    # (the synthetic docs corpus is unpunctuated, so probe a literal here)
+    probe = spark.createDataFrame([("Hello, world's 3.14 cats!",)], "text string")
+    n_bpe = probe.select(bpe_token_count("text").alias("n")).collect()[0]["n"]
+    n_ws = probe.select(token_count("text").alias("n")).collect()[0]["n"]
+    assert n_bpe == 9 and n_ws == 4
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """Resize emits fixed-size pixel buffers; frame sampling explodes 1->N
+    with in-bounds offsets; both deterministic."""
+    from varint_simd_spark.functions.multimodal import resize_images, sample_frames
+    from varint_simd_spark.sources.web_pages import generate_web_pages
+
+    wp = generate_web_pages(spark, 200, seed=42).withColumn("page_id", F.xxhash64("url"))
+    rs = resize_images(wp, "html", "page_id", w=8, h=8).toPandas()
+    assert len(rs) == 200
+    assert (rs["pixels"].map(len) == 64).all()
+    assert (rs["width"] == 8).all() and (rs["height"] == 8).all()
+
+    fr = sample_frames(wp, "html", "page_id", n_frames=3).toPandas()
+    assert len(fr) == 600
+    assert set(fr["frame_idx"]) == {0, 1, 2}
+    sizes = wp.select("page_id", F.length("html").alias("n")).toPandas().set_index("page_id")["n"]
+    for _, r in fr.head(50).iterrows():
+        assert 0 <= r["frame_offset"] < sizes[r["id"]]
+
+    rs2 = resize_images(wp, "html", "page_id", w=8, h=8).toPandas()
+    assert (rs.sort_values("id", ignore_index=True)["pixels"]
+            == rs2.sort_values("id", ignore_index=True)["pixels"]).all()

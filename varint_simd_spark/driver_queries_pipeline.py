@@ -16,6 +16,7 @@ from .functions.dedup import (
 from .functions.multimodal import binary_meta, extract_features
 from .functions.similarity import brute_force_topk, cosine_dup_pairs, ann_topk_lsh
 from .functions.text import (
+    bpe_token_count_sql_duckdb,
     lang_id,
     lang_id_sql_duckdb,
     quality_score,
@@ -39,6 +40,14 @@ def _docs(spark, sf_dir):
 def q_token_count(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+
+
+def q_bpe_token_count(spark, sf_dir):
+    from .functions.text import bpe_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count("text").cast("long").alias("n_bpe_tokens")
     )
 
 
@@ -208,8 +217,39 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_resize_images(spark, sf_dir):
+    """Multimodal resize stage (decode stubbed, plumbing real): graded
+    projection hashes the pixel buffer (raw binary is not canonicalizer-
+    friendly) and checks dims/sizes."""
+    from .functions.multimodal import resize_images
+    from .sources.web_pages import generate_web_pages
+
+    wp = generate_web_pages(spark, 1000, seed=42).withColumn("page_id", F.xxhash64("url"))
+    out = resize_images(wp, "html", "page_id", w=16, h=16)
+    return out.select(
+        "id", "width", "height",
+        F.length("pixels").alias("n_pixels"),
+        F.xxhash64("pixels").alias("pixels_hash"),
+    )
+
+
+def q_sample_frames(spark, sf_dir):
+    """Multimodal frame-sampling stage (1-to-N exploding UDF shape)."""
+    from .functions.multimodal import sample_frames
+    from .sources.web_pages import generate_web_pages
+
+    wp = generate_web_pages(spark, 500, seed=42).withColumn("page_id", F.xxhash64("url"))
+    out = sample_frames(wp, "html", "page_id", n_frames=4)
+    return out.select(
+        "id", "frame_idx", "frame_offset",
+        F.length("frame").alias("n_bytes"),
+        F.xxhash64("frame").alias("frame_hash"),
+    )
+
+
 PIPELINE_QUERIES = {
     "token_count_documents": q_token_count,
+    "bpe_token_count_documents": q_bpe_token_count,
     "quality_score_documents": q_quality_score,
     "lang_id_documents": q_lang_id,
     "exact_dedup_events_type": q_exact_dedup,
@@ -225,11 +265,17 @@ PIPELINE_QUERIES = {
     "ivf_topk_embeddings": q_ivf_topk,
     "binary_meta_web_pages": q_binary_meta,
     "multimodal_features_web_pages": q_multimodal_features,
+    "resize_images_web_pages": q_resize_images,
+    "sample_frames_web_pages": q_sample_frames,
 }
 
 PIPELINE_ORACLES = {
     "token_count_documents": (
         f"SELECT doc_id, CAST({token_count_sql_duckdb('text')} AS BIGINT) AS n_tokens FROM documents"
+    ),
+    "bpe_token_count_documents": (
+        f"SELECT doc_id, CAST({bpe_token_count_sql_duckdb('text')} AS BIGINT) "
+        "AS n_bpe_tokens FROM documents"
     ),
     "quality_score_documents": (
         f"SELECT doc_id, round({quality_score_sql_duckdb('text')}, 6) AS quality, "

@@ -155,3 +155,108 @@ def extract_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).cast("long"), F.col(bin_col)).mapInArrow(
         fn, schema=FEATURES_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# resize / frame-sample stages (brief-mandated multimodal plumbing).
+# The pixel/sample decode needs codec libs absent from this container, so
+# the DECODE step is the documented stub; batching, schemas, offsets, and
+# output shapes are real.
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(payload: np.ndarray, w: int, h: int) -> np.ndarray:
+    """STUB for decode+resize (PIL absent): treats the raw payload as a
+    byte grid and samples it down to (h, w) with evenly spaced strides —
+    deterministic, same (h*w,) uint8 output contract as a real
+    grayscale-resize, so the Spark plumbing is exercised end to end.  A
+    production deployment replaces ONLY this function (PIL decode +
+    Image.resize)."""
+    if payload.size == 0:
+        return np.zeros(w * h, dtype=np.uint8)
+    idx = (np.arange(w * h, dtype=np.int64) * payload.size) // (w * h)
+    return payload[idx]
+
+
+def resize_images(df: DataFrame, bin_col: str, id_col: str, w: int = 32, h: int = 32) -> DataFrame:
+    """mapInArrow resize stage: binary column in, fixed-size pixel buffers
+    out.  Per-batch numpy over the Arrow buffer; the only per-value work
+    is the (stubbed) decode itself — exactly where a real image decoder
+    sits."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            payloads = batch.column(1)
+            out = []
+            for i in range(batch.num_rows):
+                raw = np.frombuffer(payloads[i].as_buffer(), dtype=np.uint8)
+                out.append(resize_stub(raw, w, h).tobytes())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array([w] * batch.num_rows, type=pa.int32()),
+                    pa.array([h] * batch.num_rows, type=pa.int32()),
+                    pa.array(out, type=pa.binary()),
+                ],
+                names=["id", "width", "height", "pixels"],
+            )
+
+    return df.select(F.col(id_col).cast("long"), F.col(bin_col)).mapInArrow(
+        fn, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, bin_col: str, id_col: str, n_frames: int = 4) -> DataFrame:
+    """mapInArrow frame-sampling stage: one input row (video payload) ->
+    ``n_frames`` output rows of evenly spaced byte windows — the 1-to-N
+    exploding UDF shape of a real keyframe sampler (which would seek
+    container keyframes instead of even offsets; that seek is the
+    documented stub here)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            payloads = batch.column(1)
+            out_id, out_idx, out_off, out_frame = [], [], [], []
+            for i in range(batch.num_rows):
+                raw = np.frombuffer(payloads[i].as_buffer(), dtype=np.uint8)
+                vid = ids[i].as_py()
+                step = max(raw.size // n_frames, 1)
+                for j in range(n_frames):
+                    off = min(j * step, max(raw.size - 1, 0))
+                    out_id.append(vid)
+                    out_idx.append(j)
+                    out_off.append(off)
+                    out_frame.append(raw[off : off + min(step, 4096)].tobytes())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.int64()),
+                    pa.array(out_idx, type=pa.int32()),
+                    pa.array(out_off, type=pa.int64()),
+                    pa.array(out_frame, type=pa.binary()),
+                ],
+                names=["id", "frame_idx", "frame_offset", "frame"],
+            )
+
+    return df.select(F.col(id_col).cast("long"), F.col(bin_col)).mapInArrow(
+        fn, schema=FRAMES_SCHEMA
+    )

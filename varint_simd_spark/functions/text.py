@@ -36,6 +36,27 @@ def token_count_sql_duckdb(col: str) -> str:
     return f"len(regexp_split_to_array(lower(trim({col})), '\\s+'))"
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the subset whose
+# semantics agree between Java regex (Spark) and RE2 (DuckDB): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(col: str) -> Column:
+    """BPE-ish sub-word pre-tokenization (the unit LLM token budgets count
+    before merges) — native regexp, WSCG, cross-engine-identical."""
+    return F.regexp_extract_all(F.col(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: str) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+def bpe_token_count_sql_duckdb(col: str) -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
 def _hits(col: str, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
