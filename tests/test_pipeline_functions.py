@@ -196,11 +196,38 @@ def test_ann_inline_matches_indexed(spark, tmp_path):
 def test_cosine_dup_pairs_lsh_vs_exact(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = cosine_dup_pairs(emb, threshold=0.5, exact=True).toPandas()
-    # the LSH path must find a subset (same-signature requirement)
+    # the LSH path must find a subset (bucket-collision requirement)
     lsh = cosine_dup_pairs(emb, threshold=0.5, exact=False, n_planes=4).toPandas()
     e = set(zip(exact["id_a"], exact["id_b"]))
     l = set(zip(lsh["id_a"], lsh["id_b"]))
     assert l <= e
+
+
+def test_cosine_dup_pairs_multitable_recall(spark):
+    """Multi-table LSH dup pairs must find (essentially) every true
+    near-dup pair on a seeded jitter cluster — the single-signature
+    variant's recall gap is what the tables fix."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rng = np.random.default_rng(7)
+    rows = emb.limit(20).collect()
+    extra = spark.createDataFrame(
+        [
+            (10_000 + i, (np.array(r["embedding"]) + rng.normal(0, 0.02, 64)).tolist())
+            for i, r in enumerate(rows)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    data = emb.unionAll(extra)
+    e = cosine_dup_pairs(data, threshold=0.95, exact=True).toPandas()
+    l = cosine_dup_pairs(data, threshold=0.95, exact=False, n_planes=8, n_tables=4).toPandas()
+    es = set(zip(e["id_a"], e["id_b"]))
+    ls = set(zip(l["id_a"], l["id_b"]))
+    assert ls <= es and len(es) >= 20
+    assert len(es & ls) >= 0.9 * len(es), (len(es), len(ls))
 
 
 def test_text_metrics_shapes(spark, docs):

@@ -250,29 +250,38 @@ def cosine_dup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     exact: bool = False,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
     ``exact=True``: all-pairs cross join (small tables / oracle gate).
-    ``exact=False``: LSH-bucketed — pairs must share their full
-    hyperplane signature (bucket equi-join), then exact cosine filter;
-    the 100 TB path."""
+    ``exact=False``: multi-table LSH — a pair is a candidate when it
+    shares a bucket in ANY of ``n_tables`` independent hyperplane tables
+    (recall compounds across tables, fixing the single-signature variant's
+    recall gap), then exact cosine filter.  The 100 TB path: only
+    bucket-colliding rows shuffle, never the cross product."""
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     if exact:
         a = base.withColumnRenamed(id_col, "id_a").withColumnRenamed("__v", "__va")
         b = base.withColumnRenamed(id_col, "id_b").withColumnRenamed("__v", "__vb")
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        sig = base.withColumn("__sig", rp_signature("__v", n_planes, seed))
+        sig = build_ann_index(base, "__v", id_col, n_planes, n_tables, seed)
         a = (
             sig.withColumnRenamed(id_col, "id_a")
             .withColumnRenamed("__v", "__va")
         )
-        b = (
-            sig.withColumnRenamed(id_col, "id_b")
-            .withColumnRenamed("__v", "__vb")
+        b = sig.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v").alias("__vb"),
+            "__table",
+            "__sig",
         )
-        pairs = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b"))
+        pairs = (
+            a.join(b, ["__table", "__sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
         pairs.withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos") >= threshold)
