@@ -534,14 +534,20 @@ def decode_aggregate(enc: DataFrame, columns: list[str] | None = None) -> DataFr
                     else:
                         v = arr.cast(pa.int64())
                     # Arrow sums in an int64 accumulator, which WRAPS for
-                    # realistic inputs (e.g. 400k epoch-micros ≈ 7e20):
-                    # bound-check first, fall back to exact Python-int sum
+                    # realistic inputs (e.g. 400k epoch-micros ≈ 7e20).
+                    # Exact fast path: shift by the chunk min so the Arrow
+                    # sum runs over the (small) in-chunk range, then add
+                    # n*min back with Python-int arithmetic — epoch-micros
+                    # chunks stay vectorized instead of object-summing
                     mm = pc.min_max(v)
                     lo_, hi_ = mm["min"].as_py(), mm["max"].as_py()
+                    n_nonnull = int(nv) - int(n_nulls)
                     if lo_ is None:
                         sum_exact = "0"
-                    elif max(abs(lo_), abs(hi_)) * max(int(nv), 1) < (1 << 62):
-                        sum_exact = str(int(pc.sum(v, min_count=0).as_py() or 0))
+                    elif (hi_ - lo_) * max(n_nonnull, 1) < (1 << 62):
+                        shifted = pc.subtract(v, pa.scalar(lo_, pa.int64()))
+                        s = int(pc.sum(shifted, min_count=0).as_py() or 0)
+                        sum_exact = str(s + lo_ * n_nonnull)
                     else:
                         vv = v.drop_null().to_numpy(zero_copy_only=False)
                         sum_exact = str(int(vv.astype(object).sum()) if vv.size else 0)
