@@ -212,6 +212,55 @@ def test_empty_chunks_commit_liveness(spark, tmp_path):
     assert decode_table(store.read_encoded()).count() == 3
 
 
+def test_corrupt_manifest_raises_not_empty(web_pages, spark, tmp_path):
+    """A corrupt/unreadable manifest must raise, not silently read as
+    "nothing committed" (which would trigger a full re-encode at scale).
+    A missing manifest path still reads as empty (first run)."""
+    store = EncodedStore(spark, str(tmp_path / "storec"))
+    assert store.committed_chunks().count() == 0  # missing path: first run
+
+    encode_resumable(store, web_pages, key="url", n_chunks=2)
+    assert store.committed_chunks().count() == 2
+
+    # corrupt every manifest parquet file in place
+    import pathlib
+
+    for f in pathlib.Path(store.manifest_path).glob("*.parquet"):
+        f.write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        store.committed_chunks().count()
+
+
+def test_ingest_layout_guard(web_pages, spark, tmp_path):
+    """ingest_to_store locks the layout-determining params to the store:
+    a re-ingest with a different key/target_chunk_bytes/input set fails
+    fast instead of re-keying every chunk (silent duplication)."""
+    from varint_simd_spark.sources.checkpoint import ingest_to_store
+
+    inp = str(tmp_path / "wp_guard_in")
+    web_pages.write.mode("overwrite").parquet(inp)
+    df = spark.read.parquet(inp)
+
+    store = EncodedStore(spark, str(tmp_path / "guard_store"))
+    ingest_to_store(store, df, key="url", target_chunk_bytes=1 << 20)
+    n0 = store.read_encoded().count()
+
+    # identical layout: idempotent re-run allowed (crash recovery)
+    ingest_to_store(store, df, key="url", target_chunk_bytes=1 << 20)
+    assert store.read_encoded().count() == n0
+
+    # different chunking param: re-keyed layout -> fail fast
+    with pytest.raises(ValueError, match="layout"):
+        ingest_to_store(store, df, key="url", target_chunk_bytes=2 << 20)
+
+    # different input set -> fail fast
+    inp2 = str(tmp_path / "wp_guard_in2")
+    web_pages.limit(100).write.mode("overwrite").parquet(inp2)
+    with pytest.raises(ValueError, match="layout"):
+        ingest_to_store(store, spark.read.parquet(inp2), key="url",
+                        target_chunk_bytes=1 << 20)
+
+
 def test_ingest_to_store_roundtrip(web_pages, spark, tmp_path):
     """Per-split ingest into the store: zero-exchange encode, committed
     manifest, bit-identical decode through the manifest-gated read."""

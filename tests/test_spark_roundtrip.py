@@ -160,6 +160,33 @@ def test_decode_column_pruning(web_pages, spark, tmp_path):
         decode_table(enc, columns=["nope"])
 
 
+def test_colocated_decode_falls_back_when_chunks_split(spark):
+    """A layout where chunks span scan partitions (e.g. tiny
+    maxPartitionBytes splitting a store file) must not error: the default
+    layout check detects it and falls back to the shuffled decode_table.
+    With the check disabled, the executor-side guard still hard-errors
+    rather than silently dropping rows."""
+    import warnings
+
+    from varint_simd_spark.operators import decode_table_colocated
+
+    wp = generate_web_pages(spark, 400, seed=11)
+    enc = encode_table(wp, key="url", n_chunks=4)
+    # round-robin repartition scatters each chunk's 12 column-rows
+    scattered = enc.repartition(6)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dec = decode_table_colocated(scattered)
+        out = dec.toPandas().sort_values("url", ignore_index=True)
+    assert any("falling back" in str(x.message) for x in w)
+    src = wp.toPandas().sort_values("url", ignore_index=True)
+    assert (out["text"] == src["text"]).all() and len(out) == len(src)
+
+    with pytest.raises(Exception, match="not fully co-located|PythonException"):
+        decode_table_colocated(scattered, check_layout=False).count()
+
+
 def test_payload_corruption_detected(spark, tmp_path):
     """A flipped payload byte must fail decode loudly (CRC gate), not
     produce silently wrong data."""
@@ -316,3 +343,13 @@ def test_verify_roundtrip_detects_mismatch(spark):
     rep = {r["column"]: r for r in verify_roundtrip(wp, corrupted, key="url").collect()}
     assert not rep["text"]["identical"] and rep["text"]["n_match"] < 3000
     assert rep["lang"]["identical"] and rep["html"]["identical"]
+
+    # duplicate join keys would fan out the join and mask corruption
+    dup = wp.limit(10).union(wp.limit(10))
+    with pytest.raises(ValueError, match="unique join key"):
+        verify_roundtrip(dup, dup, key="url")
+
+    # empty src: zero matches, never a null-sum TypeError
+    empty = wp.filter(F.lit(False))
+    rep0 = verify_roundtrip(empty, empty, key="url").collect()
+    assert all(r["n_match"] == 0 and r["identical"] for r in rep0)

@@ -24,16 +24,6 @@ from .container import pack_sections, unpack_sections
 
 _ESCAPE = 255  # FSST escape code (code 255 = next byte is a literal)
 
-_EVEN_MASK = np.tile(np.array([True, False]), 1 << 17)  # grown on demand
-
-
-def _even_mask(n: int) -> np.ndarray:
-    """Cached alternating True/False mask of length n (True at even idx)."""
-    global _EVEN_MASK
-    if _EVEN_MASK.size < n:
-        _EVEN_MASK = np.tile(np.array([True, False]), (n + 1) // 2 + 1)
-    return _EVEN_MASK[:n]
-
 BO = tuple[np.ndarray, np.ndarray]  # (blob uint8, offs int64[n+1])
 
 
@@ -62,16 +52,18 @@ def bo_to_arrow(bo: BO, binary: bool = False, small: bool = False) -> pa.Array:
     type, avoiding a later cast copy."""
     blob, offs = bo
     n = len(offs) - 1
+    # pa.py_buffer wraps the numpy buffers zero-copy (it keeps a reference);
+    # decode outputs are freshly allocated and never mutated afterwards
     if small and (offs.size == 0 or offs[-1] < (1 << 31)):
         typ = pa.binary() if binary else pa.string()
-        off_buf = pa.py_buffer(np.ascontiguousarray(offs, dtype=np.int32).tobytes())
+        off_buf = pa.py_buffer(np.ascontiguousarray(offs, dtype=np.int32))
     else:
         typ = pa.large_binary() if binary else pa.large_string()
-        off_buf = pa.py_buffer(np.ascontiguousarray(offs).tobytes())
+        off_buf = pa.py_buffer(np.ascontiguousarray(offs))
     return pa.Array.from_buffers(
         typ,
         n,
-        [None, off_buf, pa.py_buffer(np.ascontiguousarray(blob).tobytes())],
+        [None, off_buf, pa.py_buffer(np.ascontiguousarray(blob))],
     )
 
 
@@ -194,199 +186,292 @@ class RleStr:
         return _gather_values(rblob, roffs, idx)
 
 
+_HBITS = 12  # 4096 hash slots for the len>=3 symbol map (255 symbols max)
+_HMUL32 = np.uint32(2654435761)  # Knuth multiplicative hash
+# byte-length -> low-bits mask for an LE-packed uint64 symbol value; padded
+# to 256 entries so the empty-slot length sentinel (255) indexes safely
+_LEN_MASK = np.zeros(256, dtype=np.uint64)
+_LEN_MASK[1:8] = [(1 << (8 * L)) - 1 for L in range(1, 8)]
+_LEN_MASK[8] = 0xFFFFFFFFFFFFFFFF
+
+
+def _hash3(prefix3: np.ndarray) -> np.ndarray:
+    """Hash the first-3-bytes prefix into a table slot index (uint32
+    wrap-around multiply, then top bits)."""
+    return (prefix3.astype(np.uint32) * _HMUL32) >> np.uint32(32 - _HBITS)
+
+
+def _words8(blob: np.ndarray) -> np.ndarray:
+    """Little-endian uint64 sliding window: w[i] = blob[i:i+8] zero-padded.
+
+    One unaligned strided copy instead of 8 shift-OR passes (the box is
+    little-endian x86; the wire format stores symbol bytes, not words, so
+    this is an in-memory detail only)."""
+    n = blob.size
+    pad = np.zeros(-(-(n + 8) // 8) * 8, dtype=np.uint8)
+    pad[:n] = blob
+    return np.lib.stride_tricks.as_strided(
+        pad.view(np.uint64), shape=(n,), strides=(1,)
+    ).copy()
+
+
+class _SymbolTable:
+    """Up to 255 symbols of 1-8 bytes (code 255 = escape), with the three
+    matching structures real FSST uses: a one-slot hash map keyed on the
+    first 3 bytes for len>=3 symbols (build-time collision resolution by
+    gain), a 64K LUT for 2-byte symbols, a 256 LUT for 1-byte symbols."""
+
+    __slots__ = ("n", "lens", "vals", "hval", "hlen", "hcode", "two", "one")
+
+    def __init__(self, cand_vals: np.ndarray, cand_lens: np.ndarray, gains: np.ndarray):
+        # empty slots: hlen=255 can never satisfy avail>=hlen (avail<=16),
+        # so no separate occupancy test is needed at match time
+        self.hval = np.zeros(1 << _HBITS, dtype=np.uint64)
+        self.hlen = np.full(1 << _HBITS, 255, dtype=np.uint8)
+        self.hcode = np.zeros(1 << _HBITS, dtype=np.uint8)
+        self.two = np.full(65536, 0xFF, dtype=np.uint8)
+        self.one = np.full(256, 0xFF, dtype=np.uint8)
+        self.lens = np.ones(256, dtype=np.uint8)
+        self.vals = np.zeros(256, dtype=np.uint64)
+        order = np.argsort(gains)[::-1][:4096]
+        ncodes = 0
+        for i in order:
+            L, v = int(cand_lens[i]), int(cand_vals[i])
+            if L >= 3:
+                h = ((v & 0xFFFFFF) * 2654435761 & 0xFFFFFFFF) >> (32 - _HBITS)
+                if self.hlen[h] != 255:  # slot taken by a higher-gain symbol
+                    continue
+                self.hval[h] = v
+                self.hlen[h] = L
+                self.hcode[h] = ncodes
+            elif L == 2:
+                self.two[v] = ncodes
+            else:
+                self.one[v] = ncodes
+            self.vals[ncodes] = v
+            self.lens[ncodes] = L
+            ncodes += 1
+            if ncodes == 255:
+                break
+        self.n = ncodes
+
+    def match_at(self, blob: np.ndarray, words: np.ndarray, pos: np.ndarray, avail: np.ndarray):
+        """Longest match at the given positions -> (code uint8 (0xFF=escape),
+        mlen uint8), arrays aligned with ``pos``.
+
+        Mirrors the reference FSST matcher: one hash probe for 3-8 byte
+        symbols (at most one candidate per position), then the 2-byte LUT,
+        then the 1-byte LUT, else escape."""
+        w = words[pos]
+        h = _hash3(w & np.uint64(0xFFFFFF))
+        slen = self.hlen[h]
+        hit = avail >= slen  # empty slots have hlen=255: always false
+        hit &= (w & _LEN_MASK[slen]) == self.hval[h]
+        code = np.where(hit, self.hcode[h], np.uint8(0xFF))
+        mlen = np.where(hit, slen, np.uint8(1))
+        rem = np.flatnonzero(~hit & (avail >= 2))
+        c2 = self.two[(w[rem] & np.uint64(0xFFFF)).astype(np.int32)]
+        got2 = c2 != 0xFF
+        i2 = rem[got2]
+        code[i2] = c2[got2]
+        mlen[i2] = 2
+        rem1 = np.flatnonzero(code == 0xFF)
+        c1 = self.one[blob[pos[rem1]]]
+        got1 = c1 != 0xFF
+        code[rem1[got1]] = c1[got1]
+        return code, mlen
+
+
 class FsstStr:
-    """FSST-style per-chunk symbol-table compression (Boncz/Neumann/Leis,
-    VLDB 2020), simplified: up to 180 2-byte symbols + 1-byte identity
-    symbols + escape code 255; greedy non-overlapping digram matching
-    vectorized over the whole chunk blob (even-offset-within-run trick).
-    Compressed per-value lengths keep random access."""
+    """True FSST per-chunk symbol-table compression (Boncz/Neumann/Leis,
+    VLDB 2020): up to 255 symbols of 1-8 bytes trained by iterative
+    gain-maximization over a sample, single-pass longest-match encoding,
+    escape code 255 for uncovered bytes.  Vectorized whole-column: the
+    inherently sequential longest-match parse runs as a bounded lockstep
+    walk over fixed 16-byte parse windows (matches never cross a window or
+    value boundary, so all windows advance in parallel, <=16 rounds).
+    Decode is one table-driven scatter.  Compressed per-value lengths keep
+    random access.  Replaces the round-2 digram-stacking approximation."""
 
     name = "fsst"
 
-    MAX_PAIRS = 180
+    TRAIN_ITERS = 5  # the paper's iteration count; symbol length ~doubles/iter
+    SAMPLE_BYTES = 1 << 16
+    # Parse window: longest-match parsing is sequential (the next start
+    # depends on the previous match length), so cap matches at 128-byte
+    # in-value boundaries — every window then parses independently and all
+    # windows advance in vectorized lockstep (<= WINDOW rounds over a
+    # geometrically shrinking live set).  Any valid non-overlapping parse
+    # decodes identically; 128 measured best on the synthetic web corpus
+    # (ratio 0.28 vs 0.36 at window 16; larger also = fewer truncated
+    # matches = fewer tokens = faster).  Must stay < 255: the window bound
+    # doubles as the uint8 avail cap that match_at compares against the
+    # empty-slot length sentinel.
+    WINDOW = 128
+    # cache blocking: ~L2-sized tiles keep multi-core scaling off the
+    # shared memory bus (same sizing rationale as round 2's digram codec)
+    TILE_BYTES = 1 << 18
 
-    def _train(self, blob: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        sample = blob[: 1 << 16]
-        present = np.unique(sample)
-        if sample.size >= 2:
-            pairs = sample[:-1].astype(np.uint16) << np.uint16(8)
-            pairs |= sample[1:]
-            uniq, counts = np.unique(pairs, return_counts=True)
-            good = counts >= 4
-            uniq, counts = uniq[good], counts[good]
-            top = uniq[np.argsort(counts)[::-1][: self.MAX_PAIRS]]
+    # ---- vectorized longest-match compression ---------------------------
+
+    def _window_bounds(self, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Parse-window [start, end) pairs: each value is tiled by WINDOW."""
+        lens = np.diff(offs)
+        nw = -(-lens // self.WINDOW)
+        nz = nw > 0
+        nwz = nw[nz]
+        total = int(nwz.sum())
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        grp0 = np.concatenate([[0], np.cumsum(nwz)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(grp0, nwz)
+        wstart = np.repeat(offs[:-1][nz], nwz) + within * self.WINDOW
+        wend = np.minimum(wstart + self.WINDOW, np.repeat(offs[1:][nz], nwz))
+        return wstart, wend
+
+    def _parse_match(self, blob, words, wstart, wend, table: _SymbolTable, n: int):
+        """Lockstep greedy parse with lazy matching: every window walks its
+        own chain of longest matches simultaneously, and the (expensive)
+        match is computed only at visited positions (~1/avg_symbol_len of
+        all positions).  -> (visited bool[n], code uint8[n], mlen uint8[n]),
+        the latter two valid at visited positions only."""
+        visited = np.zeros(n, dtype=bool)
+        codearr = np.empty(n, dtype=np.uint8)
+        mlenarr = np.empty(n, dtype=np.uint8)
+        cur = wstart.copy()
+        live = np.flatnonzero(cur < wend)
+        while live.size:
+            c = cur[live]
+            code, mlen = table.match_at(blob, words, c, wend[live] - c)
+            visited[c] = True
+            codearr[c] = code
+            mlenarr[c] = mlen
+            cur[live] = c + mlen
+            live = live[cur[live] < wend[live]]
+        return visited, codearr, mlenarr
+
+    def _emit(self, blob, offs, code, visited) -> BO:
+        pos = np.flatnonzero(visited)
+        c = code[pos]
+        esc = c == 0xFF
+        sz = np.where(esc, np.int64(2), np.int64(1))
+        ocum = np.empty(pos.size + 1, dtype=np.int64)
+        ocum[0] = 0
+        np.cumsum(sz, out=ocum[1:])
+        out = np.empty(int(ocum[-1]), dtype=np.uint8)
+        st = ocum[:-1]
+        out[st[~esc]] = c[~esc]
+        e0 = st[esc]
+        out[e0] = _ESCAPE
+        out[e0 + 1] = blob[pos[esc]]
+        k = np.searchsorted(pos, offs)
+        comp_lens = ocum[k[1:]] - ocum[k[:-1]]
+        return out, comp_lens.astype(np.int64)
+
+    def _compress(self, blob, offs, table: _SymbolTable) -> BO:
+        if blob.size == 0:
+            return np.zeros(0, np.uint8), np.zeros(offs.size - 1, np.int64)
+        wstart, wend = self._window_bounds(offs)
+        visited, codearr, _ = self._parse_match(blob, _words8(blob), wstart, wend, table, blob.size)
+        return self._emit(blob, offs, codearr, visited)
+
+    # ---- training (iterative gain-maximization over a sample) -----------
+
+    def _train(self, blob: np.ndarray, offs: np.ndarray) -> _SymbolTable:
+        if blob.size <= self.SAMPLE_BYTES:
+            sblob, soffs = blob, offs
         else:
-            top = np.zeros(0, dtype=np.uint16)
-        n_singles = 255 - len(top)
-        singles = present[:n_singles]
-        return top.astype(np.uint16), singles.astype(np.uint8)
+            e = min(max(1, int(np.searchsorted(offs, self.SAMPLE_BYTES))), offs.size - 1)
+            sblob, soffs = blob[: offs[e]], offs[: e + 1]
+        empty = np.zeros(0, np.uint64), np.zeros(0, np.uint8), np.zeros(0, np.int64)
+        table = _SymbolTable(*empty)
+        if sblob.size == 0:
+            return table
+        n = sblob.size
+        wstart, wend = self._window_bounds(soffs)
+        words = _words8(sblob)
+        vid = np.repeat(np.arange(soffs.size - 1), np.diff(soffs))
+        for _ in range(self.TRAIN_ITERS):
+            visited, codearr, mlenarr = self._parse_match(sblob, words, wstart, wend, table, n)
+            pos = np.flatnonzero(visited)
+            c = codearr[pos]
+            esc = c == 0xFF
+            tlen = np.where(esc, np.uint8(1), mlenarr[pos])
+            tval = np.where(esc, sblob[pos].astype(np.uint64), table.vals[c])
+            # candidate pool: every emitted token + concatenations of
+            # adjacent tokens within the same value, truncated to 8 bytes
+            same = vid[pos[1:]] == vid[pos[:-1]] if pos.size > 1 else np.zeros(0, bool)
+            l1, l2 = tlen[:-1][same], tlen[1:][same]
+            v1, v2 = tval[:-1][same], tval[1:][same]
+            ok = l1 < 8
+            nlen = np.minimum(l1[ok].astype(np.int64) + l2[ok], 8).astype(np.uint8)
+            nval = (v1[ok] | (v2[ok] << (np.uint64(8) * l1[ok].astype(np.uint64)))) & _LEN_MASK[nlen]
+            cvals = np.concatenate([tval, nval])
+            clens = np.concatenate([tlen, nlen])
+            order = np.lexsort((cvals, clens))
+            sv, sl = cvals[order], clens[order]
+            newgrp = np.empty(sv.size, dtype=bool)
+            newgrp[0] = True
+            newgrp[1:] = (sv[1:] != sv[:-1]) | (sl[1:] != sl[:-1])
+            starts = np.flatnonzero(newgrp)
+            counts = np.diff(np.concatenate([starts, [sv.size]]))
+            gains = counts.astype(np.int64) * sl[starts]
+            table = _SymbolTable(sv[starts], sl[starts], gains)
+        return table
 
-    # compression runs in ~12 whole-array passes; tile the blob so those
-    # passes hit a core-private L2 slice instead of re-streaming shared
-    # DRAM (cache blocking — big effect on multi-core scaling).  128 KB
-    # measured fastest at 1 AND 8 procs (working set incl. int32 offsets
-    # and output stays ~L2-sized); 8-proc efficiency 0.88.
-    TILE_BYTES = 1 << 17
+    # ---- wire format -----------------------------------------------------
 
-    def _encode_layer(self, blob: np.ndarray, offs: np.ndarray):
-        """One digram-coding layer.  -> (pair_syms, single_syms, out, comp_lens)."""
-        pair_syms, single_syms = self._train(blob)
-        P, S = len(pair_syms), len(single_syms)
-        # uint8 LUTs with 0xFF = "no code" sentinel (safe: P+S <= 255, so
-        # real codes never reach 255, which is the escape marker anyway)
-        pair_code = np.full(65536, 0xFF, dtype=np.uint8)
-        pair_code[pair_syms] = np.arange(P, dtype=np.uint8)
-        single_code = np.full(256, 0xFF, dtype=np.uint8)
-        single_code[single_syms] = np.arange(P, P + S, dtype=np.uint8)
-
+    def encode_bo(self, bo: BO, cache: dict | None = None) -> tuple[bytes, dict]:
+        blob, offs = bo
         n_vals = offs.size - 1
-        if int(offs[-1]) <= self.TILE_BYTES or n_vals < 2:
-            out, comp_lens = self._compress_with_boundaries(blob, offs, pair_code, single_code)
+        table = self._train(blob, offs)
+        nsym = table.n
+        sym_lens = table.lens[:nsym]
+        bytes8 = (
+            table.vals[:nsym, None] >> (np.uint64(8) * np.arange(8, dtype=np.uint64))[None, :]
+        ).astype(np.uint8)
+        sym_blob = bytes8[np.arange(8)[None, :] < sym_lens[:, None]]
+        nb = int(offs[-1]) if offs.size else 0
+        if nb <= self.TILE_BYTES or n_vals < 2:
+            out, comp_lens = self._compress(blob, offs, table)
         else:
-            # split at value boundaries into ~TILE_BYTES slices
             cuts = [0]
             while cuts[-1] < n_vals:
                 nxt = int(np.searchsorted(offs, offs[cuts[-1]] + self.TILE_BYTES))
                 cuts.append(min(max(nxt, cuts[-1] + 1), n_vals))
             outs, lens_parts = [], []
             for a, b in zip(cuts[:-1], cuts[1:]):
-                t_offs = offs[a : b + 1] - offs[a]
-                t_blob = blob[offs[a] : offs[b]]
-                o, cl = self._compress_with_boundaries(t_blob, t_offs, pair_code, single_code)
+                o, cl = self._compress(blob[offs[a] : offs[b]], offs[a : b + 1] - offs[a], table)
                 outs.append(o)
                 lens_parts.append(cl)
             out = np.concatenate(outs)
             comp_lens = np.concatenate(lens_parts)
-        return pair_syms, single_syms, out, comp_lens
-
-    # Re-Pair style round stacking: each extra layer digram-codes the
-    # previous layer's code stream, so effective source-symbol length
-    # doubles per round (2 -> 4 -> 8 bytes by round 3, real-FSST territory).
-    # A round is kept only if it pays for its table (>=3% shrink).
-    # Default 2: measured on a 38 MB html corpus, round 3 shrinks 6.4% more
-    # (0.353 -> 0.330) but costs 22% encode / 42% decode throughput — set 3
-    # for archival (write-once read-rarely) tables.
-    MAX_ROUNDS = 2
-
-    def encode_bo(self, bo: BO, cache: dict | None = None) -> tuple[bytes, dict]:
-        blob, offs = bo
-        p1, s1, out, comp_lens = self._encode_layer(blob, offs)
-        tables: list[tuple[np.ndarray, np.ndarray]] = []
-        rounds = 1
-        while rounds < self.MAX_ROUNDS and out.size > 4096:
-            offs2 = np.empty(comp_lens.size + 1, dtype=np.int64)
-            offs2[0] = 0
-            np.cumsum(comp_lens, out=offs2[1:])
-            p_, s_, out2, comp_lens2 = self._encode_layer(out, offs2)
-            if out2.size + 2 * len(p_) + len(s_) >= 0.97 * out.size:
-                break
-            rounds += 1
-            tables.append((p_, s_))
-            out, comp_lens = out2, comp_lens2
         clens_pay, _ = varint.encode(comp_lens.astype(np.uint64))
-        extra: list[bytes] = []
-        for p_, s_ in tables:
-            extra.append(p_.astype(">u2").tobytes())
-            extra.append(s_.tobytes())
-        # layout (back-compatible with the 2-round format): p1, s1, clens,
-        # codes, then (p_i, s_i) per extra round outermost-last
         return (
-            pack_sections(
-                [p1.astype(">u2").tobytes(), s1.tobytes(), clens_pay, out.tobytes()]
-                + (extra or [b"", b""])
-            ),
-            {
-                "pairs": str(len(p1)),
-                "singles": str(len(s1)),
-                "rounds": str(rounds),
-            },
+            pack_sections([sym_lens.tobytes(), sym_blob.tobytes(), clens_pay, out.tobytes()]),
+            {"nsym": str(nsym)},
         )
 
-    def _compress_with_boundaries(self, blob, offs, pair_code, single_code):
-        nb = blob.size
-        n_vals = offs.size - 1
-        if nb == 0:
-            return np.zeros(0, dtype=np.uint8), np.zeros(n_vals, dtype=np.int64)
-
-        # one 64K-LUT gather produces the pair code per position (0xFF = none)
-        pairs = blob[:-1].astype(np.uint16) << np.uint16(8)
-        pairs |= blob[1:]
-        pcode = pair_code[pairs]
-        m = pcode != 0xFF
-        # suppress pair matches straddling a value boundary (in-place scatter)
-        ends = offs[1:][offs[1:] > 0] - 1
-        ends = ends[ends < nb - 1]
-        m[ends] = False
-
-        # scan-free non-overlap selection ("parity repair" maximal matching):
-        # take all matches at even positions, then odd-position matches whose
-        # even neighbors were not taken.  Any valid non-overlapping parse
-        # decodes identically; measured pair count is within noise of
-        # greedy-left, at ~1/20 the cost of a positional forward-fill scan.
-        even = _even_mask(nb - 1)
-        sel_e = m & even
-        selected = m & ~even
-        selected[1:] &= ~sel_e[:-1]
-        selected[:-1] &= ~sel_e[1:]
-        selected |= sel_e
-
-        sel_pos = np.flatnonzero(selected)
-        remain = np.ones(nb, dtype=bool)
-        remain[sel_pos] = False
-        remain[sel_pos + 1] = False
-        # classify leftover bytes on the (usually small) remainder only
-        remain_idx = np.flatnonzero(remain)
-        sc_r = single_code[blob[remain_idx]]
-        esc_local = sc_r == 0xFF
-        esc_idx = remain_idx[esc_local]
-        single_idx = remain_idx[~esc_local]
-        single_codes = sc_r[~esc_local]
-
-        cost = np.ones(nb, dtype=np.uint8)
-        cost[sel_pos + 1] = 0
-        cost[esc_idx] = 2
-        # int32 offsets are safe: tiles are <= TILE_BYTES << 2^31
-        out_offs = np.empty(nb + 1, dtype=np.int32 if nb < (1 << 30) else np.int64)
-        out_offs[0] = 0
-        np.cumsum(cost, dtype=out_offs.dtype, out=out_offs[1:])
-        out = np.empty(int(out_offs[-1]), dtype=np.uint8)
-        out[out_offs[sel_pos]] = pcode[sel_pos]
-        out[out_offs[single_idx]] = single_codes
-        esc_out = out_offs[esc_idx]
-        out[esc_out] = _ESCAPE
-        out[esc_out + 1] = blob[esc_idx]
-
-        comp_lens = out_offs[offs[1:]] - out_offs[offs[:-1]]
-        return out, comp_lens.astype(np.int64)
-
     def decode_bo(self, payload: bytes, params: dict, n: int) -> BO:
-        sections = unpack_sections(payload)
-        table_p1, table_s1, clens_pay, blob_b = sections[:4]
+        sym_lens_b, sym_blob_b, clens_pay, codes_b = unpack_sections(payload)[:4]
         if n == 0:
             return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+        nsym = len(sym_lens_b)
+        sym_len = np.ones(256, dtype=np.uint8)
+        sym_bytes = np.zeros((256, 8), dtype=np.uint8)
+        if nsym:
+            sl = np.frombuffer(sym_lens_b, dtype=np.uint8)
+            sym_len[:nsym] = sl
+            sb = np.frombuffer(sym_blob_b, dtype=np.uint8)
+            so = np.concatenate([[0], np.cumsum(sl, dtype=np.int64)])
+            rows = np.repeat(np.arange(nsym), sl)
+            cols = np.arange(sb.size) - np.repeat(so[:-1], sl)
+            sym_bytes[rows, cols] = sb
         comp_lens = varint.decode(clens_pay, count=n, width=64).astype(np.int64)
-        codes = np.frombuffer(blob_b, dtype=np.uint8)
-        # undo extra rounds outermost-first: round k's tables are the LAST
-        # (p, s) section pair, round 2's the first extra pair
-        rounds = int(params.get("rounds", "1"))
-        for r in range(rounds, 1, -1):
-            pi = np.frombuffer(sections[4 + 2 * (r - 2)], dtype=">u2").astype(np.uint16)
-            si = np.frombuffer(sections[5 + 2 * (r - 2)], dtype=np.uint8)
-            codes, mid_offs = self._decode_layer(codes, comp_lens, pi, si)
-            comp_lens = np.diff(mid_offs)
-        p1 = np.frombuffer(table_p1, dtype=">u2").astype(np.uint16)
-        s1 = np.frombuffer(table_s1, dtype=np.uint8)
-        return self._decode_layer(codes, comp_lens, p1, s1)
-
-    def _decode_layer(
-        self, codes_all: np.ndarray, comp_lens: np.ndarray, pair_syms: np.ndarray, single_syms: np.ndarray
-    ) -> BO:
-        P, S = len(pair_syms), len(single_syms)
-        n = comp_lens.size
-
+        codes_all = np.frombuffer(codes_b, dtype=np.uint8)
         if codes_all.size > self.TILE_BYTES and n >= 2:
-            # cache-blocked decode: tile at value boundaries (escape state
-            # never crosses values — escapes are within-value)
+            # cache-blocked decode: tile at value boundaries (escape pairs
+            # never cross values — a value's code stream is self-contained)
             comp_offs_all = np.concatenate([[0], np.cumsum(comp_lens)])
             cuts = [0]
             while cuts[-1] < n:
@@ -396,74 +481,69 @@ class FsstStr:
             for a, b in zip(cuts[:-1], cuts[1:]):
                 t_blob, t_offs = self._decode_block(
                     codes_all[comp_offs_all[a] : comp_offs_all[b]],
-                    comp_lens[a:b], b - a, pair_syms, single_syms, P, S,
+                    comp_lens[a:b], sym_len, sym_bytes,
                 )
                 blobs.append(t_blob)
                 offs_parts.append(t_offs[1:] + base)
                 base += int(t_offs[-1])
             return np.concatenate(blobs), np.concatenate([[0], *offs_parts]).astype(np.int64)
-        return self._decode_block(codes_all, comp_lens, n, pair_syms, single_syms, P, S)
+        return self._decode_block(codes_all, comp_lens, sym_len, sym_bytes)
 
-    def _decode_block(self, codes, comp_lens, n, pair_syms, single_syms, P, S) -> BO:
+    @staticmethod
+    def _scatter_tail(out, base, codes, lens8, sym_bytes, start_idx):
+        """Scatter symbol bytes 1..7 via shrinking index arrays (total work
+        = output bytes, no per-j full rescans)."""
+        idx = start_idx
+        j = 1
+        while idx.size:
+            out[base[idx] + j] = sym_bytes[codes[idx], j]
+            j += 1
+            if j == 8:
+                break
+            idx = idx[lens8[idx] > j]
 
-        sym_first = np.empty(256, dtype=np.uint8)
-        sym_second = np.zeros(256, dtype=np.uint8)
-        sym_len = np.ones(256, dtype=np.uint8)
-        sym_first[:P] = (pair_syms >> np.uint16(8)).astype(np.uint8)
-        sym_second[:P] = (pair_syms & np.uint16(0xFF)).astype(np.uint8)
-        sym_len[:P] = 2
-        sym_first[P : P + S] = single_syms
-
+    def _decode_block(self, codes, comp_lens, sym_len, sym_bytes) -> BO:
         nb = codes.size
-        off_t = np.int32 if nb < (1 << 30) else np.int64
-        esc_mask = codes == _ESCAPE
+        off_t = np.int32 if nb * 8 < (1 << 31) else np.int64
+        ep_all = np.flatnonzero(codes == _ESCAPE)
+        lens8 = sym_len[codes]
 
-        if not esc_mask.any():
-            # fast path (the common case: no escape bytes in this block)
-            lens8 = sym_len[codes]
-            out_offs = np.empty(nb + 1, dtype=off_t)
-            out_offs[0] = 0
-            np.cumsum(lens8, dtype=off_t, out=out_offs[1:])
-            out = np.empty(int(out_offs[-1]), dtype=np.uint8)
-            out[out_offs[:-1]] = sym_first[codes]
-            two = np.flatnonzero(lens8 == 2)
-            out[out_offs[two] + 1] = sym_second[codes[two]]
-            comp_offs = np.concatenate([[0], np.cumsum(comp_lens)])
-            return out, out_offs[comp_offs].astype(np.int64)
-
-        is_code = np.ones(nb, dtype=bool)
-        # runs of consecutive 0xFF bytes: alternating escape/literal
-        run_start = esc_mask & ~np.concatenate([[False], esc_mask[:-1]])
-        rid = np.cumsum(run_start)
-        first_of = np.zeros(rid.max() + 1, dtype=np.int64)
-        sidx = np.flatnonzero(run_start)
-        first_of[rid[sidx]] = sidx
-        par = (np.arange(nb) - first_of[rid]) & 1
-        true_esc = esc_mask & (par == 0)
-        literal = np.zeros(nb, dtype=bool)
-        tp = np.flatnonzero(true_esc) + 1
-        literal[tp[tp < nb]] = True
-        is_code = ~literal
-        esc_mask = true_esc
-        out_len_per = np.where(esc_mask, np.uint8(1), sym_len[codes])
-        out_len_per[~is_code] = 0
+        if ep_all.size:
+            # runs of consecutive 0xFF bytes alternate escape/literal: codes
+            # are 0..254, so a 0xFF byte is an escape marker unless it is the
+            # literal consumed by the preceding escape (parity within run,
+            # computed over escape positions only)
+            run_start = np.empty(ep_all.size, dtype=bool)
+            run_start[0] = True
+            np.greater(np.diff(ep_all), 1, out=run_start[1:])
+            first_of = ep_all[np.flatnonzero(run_start)][np.cumsum(run_start) - 1]
+            true_esc_pos = ep_all[((ep_all - first_of) & 1) == 0]
+            lit_pos = true_esc_pos + 1
+            lit_pos = lit_pos[lit_pos < nb]
+            lens8[true_esc_pos] = 1  # escape emits exactly the literal byte
+            lens8[lit_pos] = 0  # the literal slot emits nothing itself
 
         out_offs = np.empty(nb + 1, dtype=off_t)
         out_offs[0] = 0
-        np.cumsum(out_len_per, dtype=off_t, out=out_offs[1:])
+        np.cumsum(lens8, dtype=off_t, out=out_offs[1:])
         out = np.empty(int(out_offs[-1]), dtype=np.uint8)
-        cp = np.flatnonzero(is_code & ~esc_mask)
-        c2 = codes[cp]
-        out[out_offs[cp]] = sym_first[c2]
-        two = cp[sym_len[c2] == 2]
-        out[out_offs[two] + 1] = sym_second[codes[two]]
-        ep = np.flatnonzero(esc_mask)
-        ep_valid = ep[ep + 1 < nb]
-        out[out_offs[ep_valid]] = codes[ep_valid + 1]
+        base = out_offs[:-1]
+
+        if ep_all.size == 0:
+            # fast path (the common case: no escape bytes in this block)
+            out[base] = sym_bytes[codes, 0]
+            self._scatter_tail(out, base, codes, lens8, sym_bytes, np.flatnonzero(lens8 > 1))
+        else:
+            emit = lens8 > 0
+            emit[true_esc_pos] = False
+            cp = np.flatnonzero(emit)
+            out[base[cp]] = sym_bytes[codes[cp], 0]
+            self._scatter_tail(out, base, codes, lens8, sym_bytes, cp[lens8[cp] > 1])
+            tev = true_esc_pos[true_esc_pos + 1 < nb]
+            out[base[tev]] = codes[tev + 1]
 
         comp_offs = np.concatenate([[0], np.cumsum(comp_lens)])
-        raw_offs = out_offs[comp_offs].astype(np.int64)
-        return out, raw_offs
+        return out, out_offs[comp_offs].astype(np.int64)
 
 
 # list[bytes] adapter so kernel-level tests and small callers stay simple

@@ -386,6 +386,7 @@ def q_store_roundtrip_colocated(spark, sf_dir):
     read_encoded -> decode_table_colocated (zero-exchange mapInArrow over
     the store layout).  Oracle = identity select (bit-identical decode)."""
     import hashlib
+    import os
     import tempfile
 
     from .operators import decode_table_colocated
@@ -394,7 +395,7 @@ def q_store_roundtrip_colocated(spark, sf_dir):
     df = _read(spark, sf_dir, "documents")
     # stable per-(sf_dir) path, overwritten each run — repeated bench/test
     # invocations must not accumulate encoded copies in /tmp
-    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    tag = hashlib.blake2b(f"{sf_dir}:{os.getpid()}".encode(), digest_size=6).hexdigest()
     root = f"{tempfile.gettempdir()}/vss_storeq_{tag}"
     import shutil
 

@@ -147,13 +147,14 @@ def q_ann_topk_lsh(spark, sf_dir):
     bucket), probe it — the scan prunes to probe buckets via
     PartitionFilters instead of computing signatures for every row."""
     import hashlib
+    import os
     import tempfile
 
     from .functions.similarity import ann_topk_indexed, write_ann_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # stable per-(sf_dir) path (mode=overwrite) — no /tmp accumulation
-    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    tag = hashlib.blake2b(f"{sf_dir}:{os.getpid()}".encode(), digest_size=6).hexdigest()
     path = f"{tempfile.gettempdir()}/vss_ann_{tag}/idx"
     write_ann_index(emb, path, n_planes=10, n_tables=6)
     idx = spark.read.parquet(path)
@@ -166,12 +167,13 @@ def q_ivf_topk(spark, sf_dir):
     index + centroid sidecar, probe the 3 nearest cells, exact re-rank.
     Rows-only check (k-means is not DuckDB-expressible)."""
     import hashlib
+    import os
     import tempfile
 
     from .functions.similarity import ivf_topk, read_ivf_centroids, write_ivf_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    tag = hashlib.blake2b(f"{sf_dir}:{os.getpid()}".encode(), digest_size=6).hexdigest()
     path = f"{tempfile.gettempdir()}/vss_ivf_{tag}/idx"
     write_ivf_index(emb, path, n_cells=16)
     idx = spark.read.parquet(path)

@@ -124,10 +124,13 @@ def write_ann_index(
     """Persist the ANN index partitioned by (table, signature bucket): a
     probe (``(__table, __sig) IN ...``) becomes a parquet PartitionFilter —
     only the probed buckets' files are ever read.  This is the 100 TB query
-    path: query cost is O(probed buckets), not O(table)."""
-    build_ann_index(df, vec_col, id_col, n_planes, n_tables, seed).write.partitionBy(
+    path: query cost is O(probed buckets), not O(table).
+
+    The pre-write repartition colocates each bucket into one task so the
+    file count is O(buckets), not O(tasks x buckets)."""
+    build_ann_index(df, vec_col, id_col, n_planes, n_tables, seed).repartition(
         "__table", "__sig"
-    ).mode("overwrite").parquet(path)
+    ).write.partitionBy("__table", "__sig").mode("overwrite").parquet(path)
 
 
 def probe_signatures(qsig: int, n_planes: int, probe_hamming: int) -> list[int]:

@@ -150,7 +150,12 @@ def simhash_df(df, id_col: str, text_col: str):
     the majority (2*count > n_tokens, identical to the ±1-vote sum of the
     grouped formulation — pinned equal by test).  Zero exchanges: at 100 TB
     this emits no (id, token-hash) shuffle stream at all, vs the exploded
-    groupBy variant whose shuffle I/O is ~token-count x 16 bytes."""
+    groupBy variant whose shuffle I/O is ~token-count x 16 bytes.
+
+    Zero-token documents: this formulation emits simhash=0 for them, while
+    ``simhash_df_grouped`` drops them entirely (explode yields no rows) —
+    the bit-for-bit equivalence pin holds on rows present in both, i.e. on
+    corpora with no token-less docs (the pin test filters accordingly)."""
     hs = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
     n = F.size(hs)
     counts = F.aggregate(

@@ -406,7 +406,10 @@ def decode_table(enc: DataFrame, meta: list | None = None, columns: list[str] | 
 
 
 def decode_table_colocated(
-    enc: DataFrame, meta: list | None = None, columns: list[str] | None = None
+    enc: DataFrame,
+    meta: list | None = None,
+    columns: list[str] | None = None,
+    check_layout: bool = True,
 ) -> DataFrame:
     """Shuffle-FREE decode for chunk-partitioned encoded tables.
 
@@ -417,8 +420,32 @@ def decode_table_colocated(
     pure ``mapInArrow`` over the scan: zero exchanges.  This is the 100 TB
     read path: decode throughput scales with scan parallelism only.
 
+    ``check_layout``: probe colocation first (a cheap job reading only the
+    chunk_id column — payloads are column-pruned away) and fall back to the
+    shuffled :func:`decode_table` when any chunk is split across scan
+    partitions (e.g. tiny ``maxPartitionBytes``), instead of erroring
+    mid-job.  The executor-side hard error remains as the last-resort
+    guard against silent data loss when the check is skipped.
+
     ``columns``: projection pushdown (see :func:`decode_table`).
     """
+    if check_layout:
+        split = (
+            enc.select(F.spark_partition_id().alias("__p"), "chunk_id")
+            .groupBy("chunk_id")
+            .agg(F.countDistinct("__p").alias("__np"))
+            .filter(F.col("__np") > 1)
+            .limit(1)
+            .count()
+        )
+        if split:
+            import warnings
+
+            warnings.warn(
+                "encoded table is not chunk-colocated (a chunk spans scan "
+                "partitions); falling back to the one-shuffle decode_table()"
+            )
+            return decode_table(enc, meta, columns)
     if meta is None:
         meta = column_meta(enc)
     enc, meta = _prune(enc, meta, columns)

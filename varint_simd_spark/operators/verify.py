@@ -31,14 +31,27 @@ def verify_roundtrip(
     round-trip too).  ``identical`` is true iff every row matched AND the
     row counts agree."""
     columns = columns or [c for c in src.columns if c != key and c in decoded.columns]
-    n_src = src.count()
+    stats = src.agg(
+        F.count("*").alias("__n"), F.countDistinct(key).alias("__d")
+    ).collect()[0]
+    n_src = int(stats["__n"])
+    if int(stats["__d"]) != n_src:
+        # duplicate keys would fan out the full-outer join, inflating both
+        # n_match and the joined row count — corruption could be masked
+        raise ValueError(
+            f"verify_roundtrip requires a unique join key: {key!r} has "
+            f"{n_src - int(stats['__d'])} duplicate value(s) in src"
+        )
     a = src.select(key, *columns)
     b = decoded.select(key, *[F.col(c).alias(f"__b_{c}") for c in columns])
     joined = a.join(b, key, "full_outer")
     aggs = []
     for c in columns:
+        # coalesce: an empty frame sums to null, which must read as 0 matches
         aggs.append(
-            F.sum(F.col(c).eqNullSafe(F.col(f"__b_{c}")).cast("long")).alias(f"__m_{c}")
+            F.coalesce(
+                F.sum(F.col(c).eqNullSafe(F.col(f"__b_{c}")).cast("long")), F.lit(0)
+            ).alias(f"__m_{c}")
         )
     row = joined.agg(F.count("*").alias("__n"), *aggs).collect()[0]
     spark = src.sparkSession

@@ -70,12 +70,21 @@ class EncodedStore:
     # -- manifest -----------------------------------------------------------
 
     def committed_chunks(self) -> DataFrame:
-        """Distinct committed chunk ids (empty DataFrame on first run)."""
+        """Distinct committed chunk ids (empty DataFrame on first run).
+
+        Only a missing manifest path reads as "nothing committed"; any
+        other failure (corrupt/unreadable manifest) raises — silently
+        treating it as empty would trigger a full re-encode of the store."""
+        from pyspark.errors import AnalysisException
+
         try:
             m = self.spark.read.parquet(self.manifest_path)
-            return m.select("chunk_id").distinct()
-        except Exception:
-            return self.spark.createDataFrame([], "chunk_id long")
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return self.spark.createDataFrame([], "chunk_id long")
+            raise
+        return m.select("chunk_id").distinct()
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(self.manifest_path)
@@ -103,7 +112,13 @@ class EncodedStore:
                 # Iceberg path (UNVERIFIED in this sandbox — no runtime jar;
                 # the constructor fails fast when the jar is absent): atomic
                 # partition-overwrite append with snapshot isolation for free.
-                enc.repartition("chunk_id").writeTo(self.iceberg_table).overwritePartitions()
+                # First commit creates the table partitioned by chunk_id;
+                # overwritePartitions on a missing table would fail.
+                w = enc.repartition("chunk_id").writeTo(self.iceberg_table)
+                if self.spark.catalog.tableExists(self.iceberg_table):
+                    w.overwritePartitions()
+                else:
+                    w.partitionedBy(F.col("chunk_id")).create()
             else:
                 (
                     enc.repartition("chunk_id")
@@ -166,6 +181,42 @@ class EncodedStore:
         return enc.join(F.broadcast(chunks), on="chunk_id", how="left_semi")
 
 
+def _check_ingest_conf(store: EncodedStore, df: DataFrame, layout: dict) -> None:
+    """Lock the layout-determining ingest params (and the scan-split knobs
+    plus the input file list) to the store.  Per-split chunk ids hash
+    (partitionId, ordinal, first_key, n_rows), so a recovery re-run with a
+    different parallelism, maxPartitionBytes, or input set would re-key
+    every chunk and silently duplicate all rows; fail fast instead."""
+    import hashlib
+    import json
+    import os
+
+    layout = dict(layout)
+    for k in ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes"):
+        layout[k] = store.spark.conf.get(k)  # both have built-in defaults
+    files = sorted(df.inputFiles())
+    layout["input_files_sha"] = hashlib.sha256("\n".join(files).encode()).hexdigest()
+    layout["n_input_files"] = len(files)
+
+    os.makedirs(store.root, exist_ok=True)
+    conf_path = f"{store.root}/_ingest_conf.json"
+    if os.path.exists(conf_path):
+        with open(conf_path) as f:
+            stored = json.load(f)
+        diff = {k: (stored.get(k), v) for k, v in layout.items() if stored.get(k) != v}
+        if diff:
+            raise ValueError(
+                "ingest layout differs from this store's locked layout "
+                f"({diff}); per-split chunk ids are a function of the scan "
+                "layout, so re-ingesting with a different layout would "
+                "re-key every chunk and duplicate rows.  Use a fresh store "
+                "root, or re-run with the original layout to recover."
+            )
+    else:
+        with open(conf_path, "w") as f:
+            json.dump(layout, f)
+
+
 def ingest_to_store(
     store: EncodedStore,
     df: DataFrame,
@@ -176,15 +227,20 @@ def ingest_to_store(
     """One-shot ingest: shuffle-free per-split encode straight into the
     store (zero exchanges — the 100 TB ingest configuration).
 
-    Crash safety: chunk ids are deterministic for a fixed input layout, so
-    a re-run after a crash overwrites its own partial chunk files (dynamic
-    partition overwrite) and commits once — no duplicates.  Unlike
+    Crash safety: chunk ids are deterministic for a fixed input layout —
+    which ``_check_ingest_conf`` locks to the store (params + scan-split
+    knobs + input file list), failing fast on mismatch — so a re-run after
+    a crash overwrites its own partial chunk files (dynamic partition
+    overwrite) and commits once, no duplicates.  Unlike
     :func:`encode_resumable` there is no chunk-level skip list (ids are
     not known before the encode runs); for incremental arrival use the
     streaming path, and re-cluster with ``compact_store`` when the
     url-hash layout is needed."""
     from ..operators.encode import encode_table_per_split
 
+    _check_ingest_conf(
+        store, df, {"key": key, "target_chunk_bytes": target_chunk_bytes}
+    )
     enc = encode_table_per_split(
         df, key=key, codecs=codecs, target_chunk_bytes=target_chunk_bytes
     )
