@@ -64,8 +64,10 @@ def main() -> None:
 
     # --- web_pages synthetic (the north-rule table) -----------------------
     # 1M pages (~0.46 GB raw): big enough that the ~2s fixed Spark overhead
-    # (salt-plan job, parquet commit, scheduling) stops dominating gbps
-    n_pages = 1_000_000
+    # (salt-plan job, parquet commit, scheduling) stops dominating gbps.
+    # SPARK_GRAFT_PAGES overrides for large-scale runs (BASELINE.md records
+    # a 10M-page session where the serial fraction is fully amortized).
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "1000000"))
     wp = generate_web_pages(spark, n_pages, seed=42)
     wp.write.mode("overwrite").parquet(f"{tmp}/web_pages")
     wp = spark.read.parquet(f"{tmp}/web_pages")
@@ -97,7 +99,7 @@ def main() -> None:
 
     enc_wp = spark.read.parquet(f"{tmp}/wp_enc")
     meta_wp = column_meta(enc_wp)
-    timed("decode_web_pages", lambda: decode_table_colocated(enc_wp, meta=meta_wp)
+    timed("decode_web_pages", lambda: decode_table_colocated(enc_wp, meta=meta_wp, check_layout=False)
           .agg(F.sum(F.length("text"))).collect(), reps=3)
     bytes_processed["encode_web_pages"] = raw_wp
     bytes_processed["decode_web_pages"] = raw_wp
@@ -105,7 +107,7 @@ def main() -> None:
     # read+decoded (In(column,...) reaches the store scan)
     raw_text = wp.select(F.sum(F.length("text"))).collect()[0][0]
     timed("decode_web_pages_pruned", lambda: decode_table_colocated(
-        enc_wp, meta=meta_wp, columns=["text"])
+        enc_wp, meta=meta_wp, columns=["text"], check_layout=False)
           .agg(F.sum(F.length("text"))).collect(), reps=3)
     bytes_processed["decode_web_pages_pruned"] = raw_text
     # aggregate pushdown: partials inside the decode UDF, no decoded rows
@@ -123,7 +125,7 @@ def main() -> None:
           .mode("overwrite").parquet(f"{tmp}/li_enc"))
     enc_li = spark.read.parquet(f"{tmp}/li_enc")
     meta_li = column_meta(enc_li)
-    timed("decode_lineitem", lambda: decode_table_colocated(enc_li, meta=meta_li)
+    timed("decode_lineitem", lambda: decode_table_colocated(enc_li, meta=meta_li, check_layout=False)
           .agg(F.sum("l_orderkey")).collect(), reps=3)
     bytes_processed["encode_lineitem"] = raw_li
     bytes_processed["decode_lineitem"] = raw_li

@@ -118,6 +118,41 @@ def _clustered_embeddings(spark):
     return emb.unionAll(extra), base.tolist()
 
 
+def test_ann_indexed_scale_multiprobe(spark, tmp_path):
+    """VERDICT round-2 item 8: the probe path at larger scale — 100k
+    vectors, probe_hamming=2 (222 probe buckets).  Must keep recall@10
+    >= 0.8, prune the scan via PartitionFilters (static OR-of-IN — the
+    broadcast-join alternative measurably does NOT trigger dynamic
+    partition pruning on an in-memory build side), and read only a small
+    fraction of the table."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from varint_simd_spark.functions.similarity import ann_topk_indexed, write_ann_index
+
+    rng = np.random.default_rng(5)
+    n, dim = 100_000, 16
+    V = rng.normal(0, 1, (n, dim))
+    q = rng.normal(0, 1, dim)
+    V[:15] = q + rng.normal(0, 0.05, (15, dim))  # seeded near-neighbors
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(V.tolist())})
+    )
+    path = str(tmp_path / "ann_big")
+    write_ann_index(df, path, n_planes=8, n_tables=6)
+    idx = spark.read.parquet(path)
+
+    res = ann_topk_indexed(idx, q.tolist(), k=10, n_planes=8, n_tables=6, probe_hamming=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*__sig", plan), plan[:2000]
+
+    exact = set(brute_force_topk(df, q.tolist(), k=10).toPandas()["vec_id"])
+    approx = set(res.toPandas()["vec_id"])
+    assert len(exact & approx) >= 8, (exact, approx)
+
+
 def test_ann_indexed_recall_and_pruning(spark, tmp_path):
     """VERDICT round-1 item 5: the stored index must (a) reach >=0.8
     recall@10 vs brute force, (b) prune the scan to probe buckets

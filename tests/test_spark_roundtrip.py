@@ -270,6 +270,42 @@ def test_zone_map_prunes_chunks_and_stays_exact(spark):
     enc.unpersist()
 
 
+def test_bucketed_encode_shuffles_compressed_only(spark, tmp_path):
+    """encode_table_bucketed: the encode stage itself has ZERO exchanges
+    (raw rows never shuffle); clustering happens on the encoded fragments.
+    Roundtrip stays bit-identical through a bucket-partitioned store, and a
+    key-equality lookup prunes to one bucket directory."""
+    import re
+
+    from varint_simd_spark.operators import decode_table_colocated, encode_table_bucketed
+
+    wp = generate_web_pages(spark, 5000, seed=13)
+    inp = str(tmp_path / "bkt_in")
+    wp.write.parquet(inp)
+    src = spark.read.parquet(inp)
+
+    enc = encode_table_bucketed(src, key="url", n_buckets=8)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+
+    store = str(tmp_path / "bkt_store")
+    enc.repartition("bucket").write.partitionBy("bucket", "chunk_id").parquet(store)
+    st = spark.read.parquet(store)
+    out = decode_table_colocated(st).drop("__chunk").toPandas().sort_values("url", ignore_index=True)
+    exp = src.toPandas().sort_values("url", ignore_index=True)
+    assert len(out) == len(exp)
+    assert (out["text"] == exp["text"]).all()
+    assert (out["html"].map(bytes) == exp["html"].map(bytes)).all()
+
+    # key-equality lookup prunes to exactly one bucket partition
+    from pyspark.sql import functions as F
+
+    url = exp["url"].iloc[7]
+    look = st.filter(F.col("bucket") == F.pmod(F.xxhash64(F.lit(url)), F.lit(8)))
+    p2 = look._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", p2), p2[:1500]
+
+
 def test_per_split_encode_shuffle_free_roundtrip(spark, tmp_path):
     """The ingest encode path (encode_table_per_split) must have ZERO
     exchanges, round-trip bit-identically, and be stable across runs on

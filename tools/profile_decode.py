@@ -54,9 +54,37 @@ print("scan partitions:", dec.rdd.getNumPartitions(), flush=True)
 
 for trial in range(2):
     t0 = time.perf_counter()
-    dec = decode_table_colocated(enc_wp, meta=meta_wp)
+    dec = decode_table_colocated(enc_wp, meta=meta_wp, check_layout=False)
     dec.agg(F.sum(F.length("text"))).collect()
     print(f"decode full trial{trial}: {time.perf_counter()-t0:.2f}s", flush=True)
+
+# ---- floor decomposition: where does the decode wall time go? -----------
+# (committed profile per VERDICT r2 item 1; measured r3 @400k pages/local[32]:
+#  JVM scan 0.21s -> +IPC-in 0.42s -> +kernels+IPC-out 0.63s — i.e. the
+#  residual over kernels is the JVM parquet scan + one Arrow IPC pass of the
+#  compressed payloads, both of which scale out with executors)
+def best_of(fn, n=3):
+    b = 9e9
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        b = min(b, time.perf_counter() - t0)
+    return b
+
+print(f"floor: JVM scan count-only: {best_of(lambda: enc_wp.agg(F.count('*')).collect()):.3f}s", flush=True)
+
+def _passthrough(batches):
+    n = 0
+    for b in batches:
+        n += b.num_rows
+    yield pa.RecordBatch.from_arrays([pa.array([n], pa.int64())], names=["n"])
+
+import pyspark.sql.types as T
+pt = lambda: enc_wp.mapInArrow(_passthrough, schema=T.StructType([T.StructField("n", T.LongType())])).agg(F.sum("n")).collect()
+print(f"floor: scan + Arrow IPC-in (no decode): {best_of(pt):.3f}s", flush=True)
+print(f"floor: full colocated decode count-only: "
+      f"{best_of(lambda: decode_table_colocated(enc_wp, meta=meta_wp, check_layout=False).agg(F.count('*')).collect()):.3f}s",
+      flush=True)
 
 t0 = time.perf_counter()
 decode_table_colocated(enc_wp, meta=meta_wp, columns=["text"]).agg(

@@ -59,8 +59,8 @@ encode_table_salted(wp.limit(2000), n_chunks=cpus).count()
 # (column_meta) is planning, amortized in production — outside the timing.
 from varint_simd_spark.operators.encode import encode_table_per_split
 
-enc_best = dec_best = split_best = 9e9
-meta = None
+enc_best = dec_best = split_best = bkt_best = dec_bkt_best = 9e9
+meta = meta_bkt = None
 for _ in range(2):
     t0 = time.perf_counter()
     enc = encode_table_salted(wp, n_chunks=64, target_rows_per_chunk=200_000)
@@ -79,18 +79,38 @@ for _ in range(2):
     encode_table_per_split(wp_split, key="url").write.partitionBy("chunk_id") \
         .mode("overwrite").parquet(f"{tmp}/enc_split")
     split_best = min(split_best, time.perf_counter() - t0)
+    # clustered configuration: per-split encode into url-hash-bucket
+    # fragments (zero raw-row exchanges), then ONE repartition of the
+    # COMPRESSED fragments (~0.3x bytes) to colocate buckets — the
+    # hash-clustered layout without shuffling raw rows
+    from varint_simd_spark.operators.encode import encode_table_bucketed
+    t0 = time.perf_counter()
+    encode_table_bucketed(wp_split, key="url", n_buckets=64) \
+        .repartition("bucket").write.partitionBy("bucket", "chunk_id") \
+        .mode("overwrite").parquet(f"{tmp}/enc_bkt")
+    bkt_best = min(bkt_best, time.perf_counter() - t0)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    enc_bkt = spark.read.parquet(f"{tmp}/enc_bkt")
+    if meta_bkt is None:
+        meta_bkt = column_meta(enc_bkt)
+    t0 = time.perf_counter()
+    nb = decode_table_colocated(enc_bkt, meta=meta_bkt, check_layout=False).count()
+    dec_bkt_best = min(dec_bkt_best, time.perf_counter() - t0)
+    assert nb == n_pages, (nb, n_pages)
     enc2 = spark.read.parquet(f"{tmp}/enc")
     if meta is None:
         meta = column_meta(enc2)
     t1 = time.perf_counter()
-    n = decode_table_colocated(enc2, meta=meta).count()
+    n = decode_table_colocated(enc2, meta=meta, check_layout=False).count()
     dec_best = min(dec_best, time.perf_counter() - t1)
     assert n == n_pages, (n, n_pages)
 
 print(json.dumps({"cpus": cpus, "encode_sec": round(enc_best, 3),
                   "encode_split_sec": round(split_best, 3),
-                  "decode_sec": round(dec_best, 3), "raw_bytes": int(raw_bytes),
+                  "encode_bucketed_sec": round(bkt_best, 3),
+                  "decode_sec": round(dec_best, 3),
+                  "decode_bucketed_sec": round(dec_bkt_best, 3),
+                  "raw_bytes": int(raw_bytes),
                   "rows": n_pages}))
 shutil.rmtree(tmp, ignore_errors=True)
 spark.stop()
@@ -144,22 +164,36 @@ def main() -> None:
         return r["raw_bytes"] / (r["encode_split_sec"] + r["decode_sec"])
 
     eff_ingest = (tput_ingest(hi) / tput_ingest(lo)) / ratio
+    eff_bkt = (lo["encode_bucketed_sec"] / hi["encode_bucketed_sec"]) / ratio
+    eff_dec_bkt = (lo["decode_bucketed_sec"] / hi["decode_bucketed_sec"]) / ratio
+
+    def tput_clustered(r):
+        return r["raw_bytes"] / (r["encode_bucketed_sec"] + r["decode_bucketed_sec"])
+
+    eff_clustered = (tput_clustered(hi) / tput_clustered(lo)) / ratio
     summary = {
         "rows": n_pages,
         "raw_gb": round(hi["raw_bytes"] / 1e9, 3),
         f"local{levels[0]}": {"encode_sec": lo["encode_sec"],
                               "encode_split_sec": lo["encode_split_sec"],
+                              "encode_bucketed_sec": lo["encode_bucketed_sec"],
                               "decode_sec": lo["decode_sec"],
+                              "decode_bucketed_sec": lo["decode_bucketed_sec"],
                               "gbps": round(tput(lo) / 1e9, 3)},
         f"local{levels[1]}": {"encode_sec": hi["encode_sec"],
                               "encode_split_sec": hi["encode_split_sec"],
+                              "encode_bucketed_sec": hi["encode_bucketed_sec"],
                               "decode_sec": hi["decode_sec"],
+                              "decode_bucketed_sec": hi["decode_bucketed_sec"],
                               "gbps": round(tput(hi) / 1e9, 3)},
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_encode": round(eff_enc, 3),
         "scaling_efficiency_decode": round(eff_dec, 3),
         "scaling_efficiency_encode_per_split": round(eff_split, 3),
         "scaling_efficiency_ingest_config": round(eff_ingest, 3),
+        "scaling_efficiency_encode_bucketed": round(eff_bkt, 3),
+        "scaling_efficiency_decode_bucketed": round(eff_dec_bkt, 3),
+        "scaling_efficiency_clustered_config": round(eff_clustered, 3),
     }
     print(json.dumps(summary))
 

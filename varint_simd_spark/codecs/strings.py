@@ -424,7 +424,12 @@ class FsstStr:
     def encode_bo(self, bo: BO, cache: dict | None = None) -> tuple[bytes, dict]:
         blob, offs = bo
         n_vals = offs.size - 1
-        table = self._train(blob, offs)
+        # a caller encoding MANY small fragments of one distribution (e.g.
+        # the bucketed per-partition encode) trains once and shares the
+        # table via cache — training dominates tiny-fragment encode cost.
+        # The table is persisted per payload either way, so decode is
+        # unaffected and fragments stay self-describing.
+        table = (cache or {}).get("fsst_table") or self._train(blob, offs)
         nsym = table.n
         sym_lens = table.lens[:nsym]
         bytes8 = (

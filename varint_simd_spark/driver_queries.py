@@ -418,10 +418,58 @@ def q_verify_roundtrip_documents(spark, sf_dir):
     return verify_roundtrip(df, dec, key="doc_id")
 
 
+def q_bucketed_roundtrip_documents(spark, sf_dir):
+    """The compressed-shuffle clustering topology end to end: per-split
+    encode into url-hash-bucket fragments (zero exchanges on raw rows) ->
+    repartition("bucket") ships only encoded bytes -> bucket-partitioned
+    store -> colocated decode.  Oracle = identity select."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import decode_table_colocated, encode_table_bucketed
+
+    df = _read(spark, sf_dir, "documents")
+    tag = hashlib.blake2b(f"{sf_dir}:{os.getpid()}".encode(), digest_size=6).hexdigest()
+    root = f"{tempfile.gettempdir()}/vss_bktq_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    inp = f"{root}/in"
+    df.write.parquet(inp)
+    src = spark.read.parquet(inp)
+    enc = encode_table_bucketed(src, key="doc_id", n_buckets=8)
+    enc.repartition("bucket").write.partitionBy("bucket", "chunk_id").parquet(f"{root}/store")
+    st = spark.read.parquet(f"{root}/store")
+    return decode_table_colocated(st).drop("__chunk")
+
+
 def q_compression_metrics_lineitem(spark, sf_dir):
     df = _read(spark, sf_dir, "lineitem")
     enc = encode_table(df, key="l_orderkey", n_chunks=8)
     return chunk_metrics(enc)
+
+
+def q_compression_bound_lineitem(spark, sf_dir):
+    """The north rule's compressed-size criterion (enc_bytes <= reference
+    encoder's bytes, per column) as a driver-checkable assertion: one row
+    per column with 1/0 flags, compared against a constant oracle derived
+    from the table's schema — any column whose encoding exceeds the
+    reference bound (or encodes to nothing) flips a flag and hash-fails."""
+    df = _read(spark, sf_dir, "lineitem")
+    enc = encode_table(df, key="l_orderkey", n_chunks=8)
+    return (
+        chunk_metrics(enc)
+        .groupBy("column")
+        .agg(
+            F.max((F.col("enc_bytes") > F.col("ref_bytes")).cast("long")).alias("__over"),
+            F.min((F.col("enc_bytes") > 0).cast("long")).alias("__nz"),
+        )
+        .select(
+            "column",
+            (1 - F.col("__over")).alias("within_ref_bound"),
+            F.col("__nz").alias("nonempty"),
+        )
+    )
 
 
 from .driver_queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
@@ -448,10 +496,12 @@ QUERIES = {
     "decode_error_semantics": q_decode_error_semantics,
     "decode_unsafe_semantics": q_decode_unsafe_semantics,
     "store_roundtrip_colocated": q_store_roundtrip_colocated,
+    "bucketed_roundtrip_documents": q_bucketed_roundtrip_documents,
     "zone_map_prune_events": q_zone_map_prune_events,
     "decode_aggregate_documents": q_decode_aggregate_documents,
     "verify_roundtrip_documents": q_verify_roundtrip_documents,
     "compression_metrics_lineitem": q_compression_metrics_lineitem,
+    "compression_bound_lineitem": q_compression_bound_lineitem,
     **PIPELINE_QUERIES,
 }
 
@@ -459,6 +509,12 @@ _VLEN_CASE = _VARINT_LEN_CASE_SQL.format(col="o_orderkey")
 _VLEN_CASE_CUST = _VARINT_LEN_CASE_SQL.format(col="o_custkey")
 
 ORACLES = {
+    # constant oracle: every lineitem column must satisfy the size bound
+    "compression_bound_lineitem": (
+        "SELECT column_name AS \"column\", CAST(1 AS BIGINT) AS within_ref_bound, "
+        "CAST(1 AS BIGINT) AS nonempty "
+        "FROM information_schema.columns WHERE table_name = 'lineitem'"
+    ),
     "auto_roundtrip_lineitem": "SELECT * FROM lineitem",
     "pruned_decode_documents": "SELECT doc_id, source FROM documents",
     "varint_roundtrip_orders_keys": "SELECT o_orderkey, o_custkey FROM orders",
@@ -504,6 +560,7 @@ ORACLES = {
         "AS t(case_name, status, value)"
     ),
     "store_roundtrip_colocated": "SELECT * FROM documents",
+    "bucketed_roundtrip_documents": "SELECT * FROM documents",
     "decode_unsafe_semantics": (
         f"SELECT * FROM (VALUES {_UNSAFE_ORACLE_ROWS}) AS t(case_name, value)"
     ),

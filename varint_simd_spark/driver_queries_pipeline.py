@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from . import golden_pins as _golden
 from .functions.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -77,6 +78,26 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_pairs_lsh(spark, sf_dir):
+    """The 100 TB n-gram dedup plan, graded against the SAME exact-SQL
+    oracle as the all-pairs gate: banded MinHash-LSH candidates (bucket
+    equi-join — only band-colliding rows shuffle, never the cross
+    product), then exact word-3-gram jaccard verification of candidates
+    only.  Green iff LSH recalls every qualifying pair (verified at
+    sf0.001 and sf0.01; 16 bands x 2 rows, est threshold 0.05)."""
+    from varint_simd_spark.functions.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=32, n_bands=16, jaccard_threshold=0.05
+    ).select("id_a", "id_b")
+    return (
+        ngram_jaccard(cand, docs, "doc_id", "text", k=3)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = brute_force_topk(emb, QUERY_VEC, k=10)
@@ -84,9 +105,15 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_cosine_dup_pairs(spark, sf_dir):
+    """Graded through the SCALE path (exact=False): multi-table LSH bucket
+    join + exact cosine re-filter, against the all-pairs SQL oracle —
+    green iff LSH recalls every pair above the threshold.  5 planes x 8
+    tables is the recall-tuned config for this low threshold (0.5 cosine
+    needs coarse buckets; a 0.95-threshold dedup would use more planes for
+    selectivity).  Verified: recall 1.0 at sf0.001 and sf0.01."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return (
-        cosine_dup_pairs(emb, threshold=0.5, exact=True)
+        cosine_dup_pairs(emb, threshold=0.5, exact=False, n_planes=5, n_tables=8)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
 
@@ -181,13 +208,43 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cos", 6).alias("cos"))
 
 
+def _binary_meta_src_path() -> str:
+    """Materialized (url, html) parquet for the binary_meta oracle: the
+    Spark query writes it, the DuckDB oracle reads the same files — both
+    sides then derive (n_bytes, format) independently from identical
+    bytes.  pid-scoped (concurrent runs don't race)."""
+    import os
+    import tempfile
+
+    return f"{tempfile.gettempdir()}/vss_binmeta_{os.getpid()}"
+
+
 def q_binary_meta(spark, sf_dir):
     from .sources.web_pages import generate_web_pages
 
-    wp = generate_web_pages(spark, 2000, seed=42).withColumn(
-        "page_id", F.monotonically_increasing_id()
+    path = _binary_meta_src_path()
+    generate_web_pages(spark, 2000, seed=42).select("url", "html").write.mode(
+        "overwrite"
+    ).parquet(path)
+    wp = spark.read.parquet(path)
+    return binary_meta(wp, "html", "url").select(
+        "url", F.col("n_bytes").cast("long").alias("n_bytes"), "format"
     )
-    return binary_meta(wp, "html", "url").select("url", "n_bytes", "format")
+
+
+def _binary_meta_oracle_sql() -> str:
+    from .functions.multimodal import MAGIC
+
+    case = "CASE"
+    # mirror sniff_format: distinct prefixes, so match order is irrelevant
+    for magic, fmt in MAGIC.items():
+        case += f" WHEN starts_with(lower(hex(html)), '{magic}') THEN '{fmt}'"
+    case += " ELSE 'unknown' END"
+    return (
+        f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
+        f"{case} AS format "
+        f"FROM read_parquet('{_binary_meta_src_path()}/*.parquet')"
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -256,6 +313,7 @@ PIPELINE_QUERIES = {
     "lang_id_documents": q_lang_id,
     "exact_dedup_events_type": q_exact_dedup,
     "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs,
+    "ngram_jaccard_pairs_lsh_documents": q_ngram_jaccard_pairs_lsh,
     "cosine_topk_embeddings": q_cosine_topk,
     "cosine_dup_pairs_embeddings": q_cosine_dup_pairs,
     "minhash_lsh_dups_documents": q_minhash_lsh_dups,
@@ -307,6 +365,23 @@ PIPELINE_ORACLES = {
           AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
     """,
+    "ngram_jaccard_pairs_lsh_documents": """
+        WITH sh AS (
+          SELECT doc_id, list_distinct([
+            array_to_string(toks[i:i+2], ' ')
+            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+          ]) AS grams
+          FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+    """,
     "cosine_topk_embeddings": (
         f"SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS cos "
         "FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10"
@@ -317,4 +392,12 @@ PIPELINE_ORACLES = {
         "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5"
     ),
+    # independent derivation from the same materialized bytes (see
+    # _binary_meta_oracle_sql) — graduates binary_meta from rows-only
+    "binary_meta_web_pages": _binary_meta_oracle_sql(),
+    # golden pins: xxhash64-based operators are not SQL-expressible but ARE
+    # deterministic over the fixed corpus — the VALUES oracle verifies the
+    # exact output values (tools/gen_golden_pins.py regenerates)
+    "simhash_fingerprints_documents": _golden.SIMHASH_DOCS_SF001_SQL,
+    "doc_fingerprints_documents": _golden.DOC_FP_SF001_SQL,
 }

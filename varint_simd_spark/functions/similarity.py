@@ -182,6 +182,15 @@ def ann_topk_indexed(
     candidates."""
     spark = index.sparkSession
     qsigs = query_signatures(spark, query, n_planes, n_tables, seed)
+    # A literal OR-of-IN predicate is deliberately used at EVERY probe-set
+    # size: it prunes the partitioned scan STATICALLY (PartitionFilters at
+    # plan time), and Catalyst converts long IN lists to O(1) InSet.  The
+    # alternative — broadcast semi-join against a probe DataFrame — was
+    # measured NOT to trigger dynamic partition pruning on an in-memory
+    # build side (no Filter-over-scan on the build side), i.e. it scans
+    # every bucket.  Probe-set size is bounded by
+    # n_tables x sum(C(n_planes, d<=probe_hamming)) — a few hundred ints at
+    # any practical multi-probe setting.
     pred = F.lit(False)
     for t, qs in enumerate(qsigs):
         pred = pred | (

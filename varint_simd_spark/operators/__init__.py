@@ -7,6 +7,8 @@ from .encode import (
     decode_table,
     decode_table_colocated,
     encode_table,
+    encode_table_bucketed,
+    encode_table_per_split,
     prune_chunks_by_range,
 )
 
@@ -17,5 +19,7 @@ __all__ = [
     "decode_table",
     "decode_table_colocated",
     "encode_table",
+    "encode_table_bucketed",
+    "encode_table_per_split",
     "prune_chunks_by_range",
 ]

@@ -145,22 +145,30 @@ def _zone_map(arr: pa.Array, tag: str) -> str | None:
 
 
 def _encode_columns_to_rows(
-    table: pa.Table, columns: list[str], codecs: dict[str, str], chunk_id: int
+    table: pa.Table,
+    columns: list[str],
+    codecs: dict[str, str],
+    chunk_id: int,
+    shared_cache: dict | None = None,
 ) -> pa.Table:
     """Encode ``columns`` of one (already chunk-assigned, already sorted)
     Arrow table into encoded-chunk rows — the single implementation of the
-    encoded-row contract, shared by every encode topology."""
+    encoded-row contract, shared by every encode topology.
+
+    ``shared_cache``: per-column codec artifacts reused across MANY calls
+    (e.g. one FSST table per (scan partition, column) in the bucketed
+    topology — per-fragment training would otherwise dominate)."""
     cols: dict[str, list] = {k.name: [] for k in _ENC_ARROW}
     for idx, col in enumerate(columns):
         arr = table[col].combine_chunks()
         want = codecs.get(col, "auto")
-        cache = None
+        cache = dict((shared_cache or {}).get(col) or {})
         if want == "auto":
             codec, reason, _stats = choose_codec_arrow(arr)
-            cache = _stats.get("_cache")
+            cache.update(_stats.get("_cache") or {})
         else:
             codec, reason = want, "forced"
-        tag, payload, params = encode_column_arrow(arr, codec, cache=cache)
+        tag, payload, params = encode_column_arrow(arr, codec, cache=cache or None)
         ref_b, raw_b = _ref_and_raw_bytes(arr, tag)
         cols["chunk_id"].append(chunk_id)
         cols["col_idx"].append(idx)
@@ -293,6 +301,90 @@ def encode_table_per_split(
             yield from flush()
 
     return df.select(*select_cols).mapInArrow(fn, schema=ENCODED_SCHEMA)
+
+
+BUCKETED_SCHEMA = T.StructType(ENCODED_SCHEMA.fields + [T.StructField("bucket", T.LongType())])
+
+
+def encode_table_bucketed(
+    df: DataFrame,
+    key: str,
+    columns: list[str] | None = None,
+    codecs: dict[str, str] | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Hash-clustered encode that shuffles COMPRESSED bytes, not raw rows.
+
+    The one-shuffle :func:`encode_table` moves the whole raw table through
+    the exchange (scan + shuffle write + shuffle read + Arrow IPC ≈ 4x the
+    input over one memory bus — the measured scaling bottleneck, see
+    BASELINE.md).  This staged variant keeps the url-hash clustering but
+    re-orders the pipeline:
+
+    1. per scan partition (ZERO exchanges): sort rows by (bucket, key)
+       where ``bucket = pmod(xxhash64(key), n_buckets)``, slice at bucket
+       boundaries, and encode each slice as its own chunk (unique
+       blake2b chunk_id, ``bucket`` column carried through);
+    2. the caller clusters with ``.repartition("bucket")`` +
+       ``write.partitionBy("bucket", ...)`` — the only exchange ships
+       encoded fragments at the compressed ratio (~0.3x), entirely
+       JVM-side (no second Python hop).
+
+    All rows of a bucket land in one partition directory, so key-equality
+    lookups prune to one bucket via PartitionFilters and zone maps prune
+    fragments within it.  Like :func:`encode_table_per_split`, chunk ids
+    are layout-deterministic (not value-pure): lock the layout for resume
+    (see ``_check_ingest_conf``) or re-cluster via ``compact_store``."""
+    columns = columns or df.columns
+    codecs = codecs or {}
+    unknown = set(codecs) - set(columns)
+    if unknown:
+        raise ValueError(f"codecs for unknown columns: {sorted(unknown)}")
+    select_cols = list(columns) + ([key] if key not in columns else [])
+    bucket_col = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).alias("__bucket")
+
+    def fn(batches):
+        import hashlib
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        batches = list(batches)
+        if not batches:
+            return
+        table = pa.Table.from_batches(batches)
+        # one multi-key sort gives bucket grouping AND key order per bucket
+        table = table.take(pc.sort_indices(table, [("__bucket", "ascending"), (key, "ascending")]))
+        bv = table["__bucket"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(bv[1:] != bv[:-1]) + 1, [len(bv)]])
+        # train string symbol tables ONCE per (partition, column): with
+        # P x n_buckets small fragments, per-fragment FSST training would
+        # dominate encode cost (measured 7x slowdown without sharing)
+        from ..codecs.strings import STR_CODECS
+
+        shared: dict[str, dict] = {}
+        for col in columns:
+            arr = table[col].combine_chunks()
+            tag = arrow_tag(arr.type)
+            if tag in STR_TAGS:
+                if arr.null_count:
+                    arr = pc.fill_null(arr, "" if tag == "str" else b"")
+                blob, offs = arrow_to_bo(arr)
+                shared[col] = {"fsst_table": STR_CODECS["fsst"]._train(blob, offs)}
+        for a, b in zip(starts[:-1], starts[1:]):
+            frag = table.slice(a, b - a).drop_columns("__bucket")
+            bucket = int(bv[a])
+            h = hashlib.blake2b(
+                repr((pid, bucket, frag[key][0].as_py(), frag.num_rows)).encode(),
+                digest_size=8,
+            )
+            chunk_id = int.from_bytes(h.digest(), "big") >> 1
+            enc = _encode_columns_to_rows(frag, columns, codecs, chunk_id, shared_cache=shared)
+            enc = enc.append_column("bucket", pa.array(np.full(enc.num_rows, bucket, np.int64)))
+            yield from enc.to_batches()
+
+    return df.select(*select_cols, bucket_col).mapInArrow(fn, schema=BUCKETED_SCHEMA)
 
 
 def column_meta(enc: DataFrame) -> list:
