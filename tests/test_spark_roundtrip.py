@@ -289,7 +289,7 @@ def test_bucketed_encode_shuffles_compressed_only(spark, tmp_path):
     assert plan.count("Exchange") == 0, plan
 
     store = str(tmp_path / "bkt_store")
-    enc.repartition("bucket").write.partitionBy("bucket", "chunk_id").parquet(store)
+    enc.repartition("bucket").write.partitionBy("bucket").parquet(store)
     st = spark.read.parquet(store)
     out = decode_table_colocated(st).drop("__chunk").toPandas().sort_values("url", ignore_index=True)
     exp = src.toPandas().sort_values("url", ignore_index=True)

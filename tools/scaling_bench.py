@@ -47,7 +47,9 @@ spark.sparkContext.setLogLevel("ERROR")
 tmp = tempfile.mkdtemp(prefix=f"vss_scale{cpus}_")
 
 wp = generate_web_pages(spark, n_pages, seed=42)
-wp.write.mode("overwrite").parquet(f"{tmp}/web_pages")
+# many-file input layout (see bench.py note): single-row-group files cap
+# per-split parallelism at file count regardless of maxPartitionBytes
+wp.write.mode("overwrite").option("maxRecordsPerFile", 40_000).parquet(f"{tmp}/web_pages")
 wp = spark.read.parquet(f"{tmp}/web_pages")
 raw_bytes = wp.select(F.sum(F.length("url") + F.lit(8) + F.length("html")
                             + F.length("text") + F.length("lang"))).collect()[0][0]
@@ -86,7 +88,7 @@ for _ in range(2):
     from varint_simd_spark.operators.encode import encode_table_bucketed
     t0 = time.perf_counter()
     encode_table_bucketed(wp_split, key="url", n_buckets=64) \
-        .repartition("bucket").write.partitionBy("bucket", "chunk_id") \
+        .repartition("bucket").write.partitionBy("bucket") \
         .mode("overwrite").parquet(f"{tmp}/enc_bkt")
     bkt_best = min(bkt_best, time.perf_counter() - t0)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))

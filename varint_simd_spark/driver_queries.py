@@ -438,7 +438,7 @@ def q_bucketed_roundtrip_documents(spark, sf_dir):
     df.write.parquet(inp)
     src = spark.read.parquet(inp)
     enc = encode_table_bucketed(src, key="doc_id", n_buckets=8)
-    enc.repartition("bucket").write.partitionBy("bucket", "chunk_id").parquet(f"{root}/store")
+    enc.repartition("bucket").write.partitionBy("bucket").parquet(f"{root}/store")
     st = spark.read.parquet(f"{root}/store")
     return decode_table_colocated(st).drop("__chunk")
 
