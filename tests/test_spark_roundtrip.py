@@ -306,6 +306,54 @@ def test_bucketed_encode_shuffles_compressed_only(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*bucket", p2), p2[:1500]
 
 
+def test_lookup_by_key_pruning_cascade(spark, tmp_path):
+    """Point lookup must (a) return exactly the requested row bit-identical,
+    (b) prune the scan to ONE bucket directory (PartitionFilter), and
+    (c) zone-map-prune to a small chunk subset before decode."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators import (
+        encode_table_bucketed,
+        lookup_by_key,
+        prune_chunks_by_range,
+    )
+
+    wp = generate_web_pages(spark, 4000, seed=21).withColumn(
+        "page_id", F.xxhash64("url")
+    )
+    inp = str(tmp_path / "lk_in")
+    wp.write.parquet(inp)
+    src = spark.read.parquet(inp)
+    store = str(tmp_path / "lk_store")
+    encode_table_bucketed(src, key="page_id", n_buckets=16).repartition("bucket") \
+        .write.partitionBy("bucket").parquet(store)
+    st = spark.read.parquet(store)
+
+    target = src.select("page_id", "url", "text").collect()[17]
+    out = lookup_by_key(st, "page_id", target["page_id"], n_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan[:1500]
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == target["url"] and rows[0]["text"] == target["text"]
+
+    # zone maps actually eliminate chunks for the probed key
+    bucket_enc = st.filter(
+        F.col("bucket") == F.pmod(F.xxhash64(F.lit(target["page_id"])), F.lit(16))
+    )
+    total = bucket_enc.select("chunk_id").distinct().count()
+    kept = (
+        prune_chunks_by_range(bucket_enc, "page_id", target["page_id"], target["page_id"])
+        .select("chunk_id").distinct().count()
+    )
+    assert kept <= total and kept >= 1
+
+    # missing key -> empty result, not an error
+    assert lookup_by_key(st, "page_id", 1, n_buckets=16).count() == 0
+
+
 def test_per_split_encode_shuffle_free_roundtrip(spark, tmp_path):
     """The ingest encode path (encode_table_per_split) must have ZERO
     exchanges, round-trip bit-identically, and be stable across runs on

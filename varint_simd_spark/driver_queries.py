@@ -443,6 +443,29 @@ def q_bucketed_roundtrip_documents(spark, sf_dir):
     return decode_table_colocated(st).drop("__chunk")
 
 
+def q_key_lookup_documents(spark, sf_dir):
+    """Point lookup through the full pruning cascade: bucket PartitionFilter
+    -> zone-map chunk prune -> single-chunk decode -> exact row filter.
+    Oracle = WHERE doc_id = <k>."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import encode_table_bucketed, lookup_by_key
+
+    df = _read(spark, sf_dir, "documents")
+    tag = hashlib.blake2b(f"{sf_dir}:{os.getpid()}".encode(), digest_size=6).hexdigest()
+    root = f"{tempfile.gettempdir()}/vss_lookupq_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    df.write.parquet(f"{root}/in")
+    src = spark.read.parquet(f"{root}/in")
+    encode_table_bucketed(src, key="doc_id", n_buckets=8).repartition("bucket") \
+        .write.partitionBy("bucket").parquet(f"{root}/store")
+    st = spark.read.parquet(f"{root}/store")
+    return lookup_by_key(st, "doc_id", 137, n_buckets=8)
+
+
 def q_compression_metrics_lineitem(spark, sf_dir):
     df = _read(spark, sf_dir, "lineitem")
     enc = encode_table(df, key="l_orderkey", n_chunks=8)
@@ -497,6 +520,7 @@ QUERIES = {
     "decode_unsafe_semantics": q_decode_unsafe_semantics,
     "store_roundtrip_colocated": q_store_roundtrip_colocated,
     "bucketed_roundtrip_documents": q_bucketed_roundtrip_documents,
+    "key_lookup_documents": q_key_lookup_documents,
     "zone_map_prune_events": q_zone_map_prune_events,
     "decode_aggregate_documents": q_decode_aggregate_documents,
     "verify_roundtrip_documents": q_verify_roundtrip_documents,
@@ -561,6 +585,7 @@ ORACLES = {
     ),
     "store_roundtrip_colocated": "SELECT * FROM documents",
     "bucketed_roundtrip_documents": "SELECT * FROM documents",
+    "key_lookup_documents": "SELECT * FROM documents WHERE doc_id = 137",
     "decode_unsafe_semantics": (
         f"SELECT * FROM (VALUES {_UNSAFE_ORACLE_ROWS}) AS t(case_name, value)"
     ),

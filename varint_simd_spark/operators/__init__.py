@@ -9,6 +9,7 @@ from .encode import (
     encode_table,
     encode_table_bucketed,
     encode_table_per_split,
+    lookup_by_key,
     prune_chunks_by_range,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "encode_table",
     "encode_table_bucketed",
     "encode_table_per_split",
+    "lookup_by_key",
     "prune_chunks_by_range",
 ]

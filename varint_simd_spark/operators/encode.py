@@ -744,6 +744,41 @@ def prune_chunks_by_range(
     return enc.join(F.broadcast(doomed), "chunk_id", "left_anti")
 
 
+def lookup_by_key(
+    enc: DataFrame,
+    key: str,
+    value,
+    n_buckets: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Point lookup on an encoded store — the 100 TB single-row read path.
+
+    Pruning cascade, each step eliminating work before the next runs:
+
+    1. **bucket pruning** (bucketed stores, pass ``n_buckets``): filter to
+       ``pmod(xxhash64(value), n_buckets)`` — a parquet PartitionFilter, so
+       only one bucket directory is ever listed/read;
+    2. **zone-map chunk pruning** (integer-family keys): drop every chunk
+       whose [min, max] for ``key`` excludes the value — only the handful
+       of overlapping chunks' payloads are fetched;
+    3. decode the surviving chunks (column-pruned via ``columns``), then
+       the exact row filter.
+
+    The literal is cast to the key column's stored dtype so the data-side
+    and probe-side xxhash64 agree (hashing int vs bigint differs)."""
+    if n_buckets is not None and "bucket" in enc.columns:
+        meta = {r["column"]: r["dtype"] for r in column_meta(enc)}
+        probe = F.lit(value)
+        if meta.get(key) in ("i64", "i32", "i16", "i8"):
+            probe = probe.cast(_TAG_TO_SPARK[meta[key]])
+        enc = enc.filter(F.col("bucket") == F.pmod(F.xxhash64(probe), F.lit(n_buckets)))
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        enc = prune_chunks_by_range(enc, key, lo=value, hi=value)
+    cols = None if columns is None else sorted(set(columns) | {key})
+    dec = decode_table(enc, columns=cols)
+    return dec.filter(F.col(key) == F.lit(value)).drop("__chunk")
+
+
 def chunk_metrics(enc: DataFrame) -> DataFrame:
     """Per-column compression lineage rollup (sizes + ratios + codec mix)."""
     return (
