@@ -466,6 +466,39 @@ def q_key_lookup_documents(spark, sf_dir):
     return lookup_by_key(st, "doc_id", 137, n_buckets=8)
 
 
+def q_streaming_encode_documents(spark, sf_dir):
+    """Structured-Streaming incremental encode end to end: feed the
+    documents table through encode_stream in two file-batches
+    (availableNow), then decode the resulting store.  Oracle = identity
+    select — after catch-up the store must contain exactly the input,
+    which also pins exactly-once commit semantics (duplicated batch
+    replays would fail the row-count/hash match)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import decode_table_colocated
+    from .sources.checkpoint import EncodedStore
+    from .streaming.incremental import encode_stream
+
+    df = _read(spark, sf_dir, "documents")
+    tag = hashlib.blake2b(f"{sf_dir}:{os.getpid()}".encode(), digest_size=6).hexdigest()
+    root = f"{tempfile.gettempdir()}/vss_streamq_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    # two input files -> two micro-batches (maxFilesPerTrigger=1)
+    half = df.count() // 2
+    df.filter(F.col("doc_id") < half).coalesce(1).write.parquet(f"{root}/in")
+    df.filter(F.col("doc_id") >= half).coalesce(1).write.mode("append").parquet(f"{root}/in")
+    store = EncodedStore(spark, f"{root}/store")
+    q = encode_stream(
+        spark, f"{root}/in", store, schema=df.schema, key="doc_id",
+        n_chunks=4, checkpoint_dir=f"{root}/ckpt",
+    )
+    q.awaitTermination()
+    return decode_table_colocated(store.read_encoded()).drop("__chunk")
+
+
 def q_compression_metrics_lineitem(spark, sf_dir):
     df = _read(spark, sf_dir, "lineitem")
     enc = encode_table(df, key="l_orderkey", n_chunks=8)
@@ -521,6 +554,7 @@ QUERIES = {
     "store_roundtrip_colocated": q_store_roundtrip_colocated,
     "bucketed_roundtrip_documents": q_bucketed_roundtrip_documents,
     "key_lookup_documents": q_key_lookup_documents,
+    "streaming_encode_documents": q_streaming_encode_documents,
     "zone_map_prune_events": q_zone_map_prune_events,
     "decode_aggregate_documents": q_decode_aggregate_documents,
     "verify_roundtrip_documents": q_verify_roundtrip_documents,
@@ -586,6 +620,7 @@ ORACLES = {
     "store_roundtrip_colocated": "SELECT * FROM documents",
     "bucketed_roundtrip_documents": "SELECT * FROM documents",
     "key_lookup_documents": "SELECT * FROM documents WHERE doc_id = 137",
+    "streaming_encode_documents": "SELECT * FROM documents",
     "decode_unsafe_semantics": (
         f"SELECT * FROM (VALUES {_UNSAFE_ORACLE_ROWS}) AS t(case_name, value)"
     ),
