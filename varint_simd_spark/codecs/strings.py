@@ -224,8 +224,9 @@ class _SymbolTable:
     __slots__ = ("n", "lens", "vals", "hval", "hlen", "hcode", "two", "one")
 
     def __init__(self, cand_vals: np.ndarray, cand_lens: np.ndarray, gains: np.ndarray):
-        # empty slots: hlen=255 can never satisfy avail>=hlen (avail<=16),
-        # so no separate occupancy test is needed at match time
+        # empty slots: hlen=255 can never satisfy avail>=hlen (avail is
+        # capped by WINDOW < 255), so no separate occupancy test is needed
+        # at match time
         self.hval = np.zeros(1 << _HBITS, dtype=np.uint64)
         self.hlen = np.full(1 << _HBITS, 255, dtype=np.uint8)
         self.hcode = np.zeros(1 << _HBITS, dtype=np.uint8)
@@ -288,8 +289,9 @@ class FsstStr:
     gain-maximization over a sample, single-pass longest-match encoding,
     escape code 255 for uncovered bytes.  Vectorized whole-column: the
     inherently sequential longest-match parse runs as a bounded lockstep
-    walk over fixed 16-byte parse windows (matches never cross a window or
-    value boundary, so all windows advance in parallel, <=16 rounds).
+    walk over fixed WINDOW-byte parse windows (matches never cross a window
+    or value boundary, so all windows advance in parallel, <=WINDOW rounds
+    over a geometrically shrinking live set).
     Decode is one table-driven scatter.  Compressed per-value lengths keep
     random access.  Replaces the round-2 digram-stacking approximation."""
 
