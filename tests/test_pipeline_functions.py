@@ -376,3 +376,42 @@ def test_resize_and_frame_sample_plumbing(spark):
     rs2 = resize_images(wp, "html", "page_id", w=8, h=8).toPandas()
     assert (rs.sort_values("id", ignore_index=True)["pixels"]
             == rs2.sort_values("id", ignore_index=True)["pixels"]).all()
+
+
+def test_html_to_text_and_normalize_url_cross_engine(spark):
+    """Markup stripping and URL canonicalization agree bit-for-bit with
+    their DuckDB mirrors on adversarial inputs (tags split mid-entity,
+    empty strings, fragments, mixed case, trailing-slash runs)."""
+    import duckdb
+    import pandas as pd
+
+    from varint_simd_spark.functions.text import (
+        html_to_text,
+        html_to_text_sql_duckdb,
+        normalize_url,
+        normalize_url_sql_duckdb,
+    )
+
+    htmls = [
+        "<html><p>Hi  there</p>& more</html>", "no tags  here", "",
+        "<a href=x>L</a><b>B</b>", "< not-a-tag", "text <br/> tail ",
+    ]
+    urls = [
+        "HTTPS://Host7.Example.COM/Path/9#frag", "http://a.b/",
+        "https://X.Y/p/1///", "ftp://Q.R/no-frag", "https://plain.com",
+        "https://h.com/#onlyfrag",
+    ]
+    con = duckdb.connect()
+    a = [r["t"] for r in spark.createDataFrame(pd.DataFrame({"h": htmls}))
+         .select(html_to_text("h").alias("t")).collect()]
+    con.register("th", pd.DataFrame({"h": htmls}))
+    b = [r[0] for r in con.sql(f"select {html_to_text_sql_duckdb('h')} from th").fetchall()]
+    assert a == b, (a, b)
+
+    a2 = [r["n"] for r in spark.createDataFrame(pd.DataFrame({"u": urls}))
+          .select(normalize_url("u").alias("n")).collect()]
+    con.register("tu", pd.DataFrame({"u": urls}))
+    b2 = [r[0] for r in con.sql(f"select {normalize_url_sql_duckdb('u')} from tu").fetchall()]
+    assert a2 == b2, (a2, b2)
+    # canonicalization actually merges variants
+    assert a2[1] == "http://a.b" and a2[2] == "https://x.y/p/1"

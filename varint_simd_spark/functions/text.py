@@ -204,3 +204,52 @@ def simhash_df_grouped(df, id_col: str, text_col: str):
             )
         )
     return votes.select(F.col(id_col), out.alias("simhash"))
+
+
+# ---- html/url cleanup operators (crawl-pipeline staples) ------------------
+
+
+def html_to_text(col) -> Column:
+    """Strip markup from an html string column: tags -> space, whitespace
+    collapsed, trimmed.  Pure native regexp (RE2/Java-agreeing pattern —
+    no backrefs/lookarounds), so it runs JVM-side in WSCG."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.trim(F.regexp_replace(F.regexp_replace(c, "<[^>]*>", " "), r"\s+", " "))
+
+
+def html_to_text_sql_duckdb(col: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace({col}, '<[^>]*>', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+
+
+def normalize_url(col) -> Column:
+    """Canonicalize a URL for dedup keys: drop the fragment, lowercase
+    scheme and host, strip trailing slashes from the path.  Composed only
+    of string builtins whose semantics DuckDB mirrors exactly
+    (:func:`normalize_url_sql_duckdb`)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    u = F.substring_index(c, "#", 1)  # drop fragment
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    after = F.substring(u, F.locate("://", u) + 3, F.length(u))
+    host = F.lower(F.substring_index(after, "/", 1))
+    slash = F.locate("/", after)
+    path = F.when(
+        slash > 0, F.substring(after, slash, F.length(after))
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(path, "/+$", "")
+    return F.concat(scheme, F.lit("://"), host, path)
+
+
+def normalize_url_sql_duckdb(col: str) -> str:
+    u = f"split_part({col}, '#', 1)"
+    scheme = f"lower(split_part({u}, '://', 1))"
+    after = f"substr({u}, strpos({u}, '://') + 3)"
+    host = f"lower(split_part({after}, '/', 1))"
+    path = (
+        f"CASE WHEN strpos({after}, '/') > 0 "
+        f"THEN regexp_replace(substr({after}, strpos({after}, '/')), '/+$', '') "
+        "ELSE '' END"
+    )
+    return f"({scheme} || '://' || {host} || {path})"
