@@ -253,3 +253,34 @@ def normalize_url_sql_duckdb(col: str) -> str:
         "ELSE '' END"
     )
     return f"({scheme} || '://' || {host} || {path})"
+
+
+# ---- repetition / character-class quality signals (Gopher-style) ----------
+
+
+def unique_token_ratio(col) -> Column:
+    """distinct tokens / tokens — the classic repetition filter signal
+    (heavily duplicated boilerplate pages score low)."""
+    t = tokens(col if isinstance(col, str) else col)
+    return (F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1))).cast("double")
+
+
+def unique_token_ratio_sql_duckdb(col: str) -> str:
+    t = f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+    return f"CAST(len(list_distinct({t})) AS DOUBLE) / greatest(len({t}), 1)"
+
+
+def alpha_ratio(col) -> Column:
+    """letter characters / all characters (unicode \\p{L} — agrees between
+    Java regex and RE2): gibberish/markup-heavy pages score low."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return (
+        F.length(F.regexp_replace(c, r"[^\p{L}]", "")) / F.greatest(F.length(c), F.lit(1))
+    ).cast("double")
+
+
+def alpha_ratio_sql_duckdb(col: str) -> str:
+    return (
+        f"CAST(length(regexp_replace({col}, '[^\\p{{L}}]', '', 'g')) AS DOUBLE) "
+        f"/ greatest(length({col}), 1)"
+    )
