@@ -59,22 +59,41 @@ def choose_int_codec(v: np.ndarray) -> tuple[str, str, dict]:
     return best, f"min-cost {sizes[best]}B", {f"size_{k}": s for k, s in sizes.items()}
 
 
+def _digram_ratio(blob: np.ndarray) -> float:
+    """Digram-coverage compressibility proxy on a bounded sample."""
+    sample = blob[: 1 << 16]
+    if sample.size <= 256:
+        return 1.0
+    pairs = sample[:-1].astype(np.uint32) * 256 + sample[1:]
+    _, counts = np.unique(pairs, return_counts=True)
+    covered = int(np.sort(counts)[::-1][:180].sum())
+    return max(0.5, 1.0 - 0.5 * covered / max(1, sample.size))
+
+
 def choose_str_codec_bo(blob: np.ndarray, offs: np.ndarray) -> tuple[str, str, dict]:
     n = len(offs) - 1
     if n == 0:
         return "raw_str", "empty", {}
+    total = int(offs[-1])
+    # bounded-prefix cardinality probe before hashing the whole column: a
+    # large column whose first 4K values are mostly distinct (web text/html)
+    # can never pick dict/rle, so skip the full-column Arrow hash pass
+    if n > 4096 and total > (1 << 20):
+        pcodes, (_, pdoffs) = _dict_encode_bo((blob[: offs[4096]], offs[:4097]))
+        if len(pdoffs) - 1 > 2048:
+            est = {
+                "raw_str": total + n,
+                "fsst": total * max(0.20, _digram_ratio(blob) ** 2) + n + 1024,
+            }
+            best = min(est, key=est.get)
+            stats = {f"est_{k}": int(s) for k, s in est.items()}
+            stats.update({"n": n, "n_distinct": -1, "runs": -1, "total_bytes": total})
+            return best, f"est {int(est[best])}B (prefix-distinct probe)", stats
     codes, (dblob, doffs) = _dict_encode_bo((blob, offs))
     n_distinct = len(doffs) - 1
     runs = 1 + int(np.count_nonzero(codes[1:] != codes[:-1])) if n > 1 else 1
-    total = int(offs[-1])
     uniq_bytes = int(doffs[-1])
-    sample = blob[: 1 << 16]
-    digram_ratio = 1.0
-    if sample.size > 256:
-        pairs = sample[:-1].astype(np.uint32) * 256 + sample[1:]
-        _, counts = np.unique(pairs, return_counts=True)
-        covered = int(np.sort(counts)[::-1][:180].sum())
-        digram_ratio = max(0.5, 1.0 - 0.5 * covered / max(1, sample.size))
+    digram_ratio = _digram_ratio(blob)
     avg_len = total / n
     idx_bytes = n * max(1, (max(1, n_distinct).bit_length() + 6) // 7)
     est = {

@@ -221,7 +221,7 @@ class _SymbolTable:
     first 3 bytes for len>=3 symbols (build-time collision resolution by
     gain), a 64K LUT for 2-byte symbols, a 256 LUT for 1-byte symbols."""
 
-    __slots__ = ("n", "lens", "vals", "hval", "hlen", "hcode", "two", "one")
+    __slots__ = ("n", "lens", "vals", "hval", "hlen", "hcode", "hmeta", "two", "one")
 
     def __init__(self, cand_vals: np.ndarray, cand_lens: np.ndarray, gains: np.ndarray):
         # empty slots: hlen=255 can never satisfy avail>=hlen (avail is
@@ -255,6 +255,9 @@ class _SymbolTable:
             if ncodes == 255:
                 break
         self.n = ncodes
+        # packed (len | code<<8) per hash slot: one uint16 gather at match
+        # time replaces separate hlen/hcode gathers
+        self.hmeta = (self.hlen.astype(np.uint16) | (self.hcode.astype(np.uint16) << 8))
 
     def match_at(self, blob: np.ndarray, words: np.ndarray, pos: np.ndarray, avail: np.ndarray):
         """Longest match at the given positions -> (code uint8 (0xFF=escape),
@@ -282,6 +285,49 @@ class _SymbolTable:
         code[rem1[got1]] = c1[got1]
         return code, mlen
 
+    def match_all(self, blob: np.ndarray, words: np.ndarray, avail: np.ndarray):
+        """Longest match at EVERY byte position -> (code uint8 (0xFF=escape),
+        mlen uint8), full-length arrays.
+
+        Same cascade as :meth:`match_at` but with no position gathers: every
+        operand is a contiguous pass over the whole blob, and the three
+        matching structures (4K hash slots / 64K two-byte LUT / 256 one-byte
+        LUT) are L1/L2-resident, so the unconditional gathers stay cheap.
+        The encoder's greedy walk then just reads the precomputed (code,
+        mlen) at the ~1/avg_symbol_len positions it actually visits — the
+        redundant match work at skipped positions is outweighed by dropping
+        the per-round numpy-call overhead and subset gathers of the lazy
+        variant (measured ~2.5x encode throughput on the web corpus).
+
+        Dtype discipline matters here: selection is branchless uint8
+        arithmetic blending ``x ^= (x ^ y) & mask`` (np.where and
+        np.copyto(where=) were both measured ~10x slower — promotion
+        temporaries / scalar masked stores); every LUT access is
+        ``np.take(..., mode='clip')`` on a shared intp index (measured 3.6x
+        faster than fancy indexing, which re-casts + bounds-checks per
+        call); the hash prefix and the 2-byte LUT key are strided uint32/
+        uint16 views of the LE word array (no widening cast temps)."""
+        # low 3 bytes of each LE word via the uint32 view (one 4B-read pass)
+        h = _hash3(words.view(np.uint32)[::2] & np.uint32(0xFFFFFF))
+        hi = h.astype(np.intp)  # one cast, shared by the slot gathers
+        meta = np.take(self.hmeta, hi, mode="clip")
+        slen = (meta & np.uint16(0xFF)).astype(np.uint8)
+        hit = avail >= slen  # empty slots: slen=255 > any avail
+        hit &= (words & np.take(_LEN_MASK, slen, mode="clip")) == np.take(
+            self.hval, hi, mode="clip"
+        )
+        # low 16 bits of each LE uint64 word, viewed in place
+        c2 = np.take(self.two, words.view(np.uint16)[::4], mode="clip")
+        hit2 = (avail >= np.uint8(2)) & (c2 != np.uint8(0xFF))
+        code = np.take(self.one, blob)  # 0xFF where uncovered = escape
+        m2 = np.negative(hit2.view(np.uint8))  # 0xFF where hit2
+        mlen = hit2.view(np.uint8) + np.uint8(1)  # 2 where hit2, else 1
+        code ^= (code ^ c2) & m2
+        m3 = np.negative(hit.view(np.uint8))  # 0xFF where hash hit (wins)
+        code ^= (code ^ (meta >> np.uint16(8)).astype(np.uint8)) & m3
+        mlen ^= (mlen ^ slen) & m3
+        return code, mlen
+
 
 class FsstStr:
     """True FSST per-chunk symbol-table compression (Boncz/Neumann/Leis,
@@ -299,6 +345,12 @@ class FsstStr:
 
     TRAIN_ITERS = 5  # the paper's iteration count; symbol length ~doubles/iter
     SAMPLE_BYTES = 1 << 16
+    # growing training sample (the paper's trick): iteration i parses only
+    # the first TRAIN_INIT<<i sample bytes — early iterations (short, noisy
+    # symbols) are cheap, only the last sees the full sample.  Halves
+    # train cost at unchanged ratio; matters because hash-chunked encode
+    # trains per (chunk x string column).
+    TRAIN_INIT = 1 << 13
     # Parse window: longest-match parsing is sequential (the next start
     # depends on the previous match length), so cap matches at 128-byte
     # in-value boundaries — every window then parses independently and all
@@ -306,13 +358,15 @@ class FsstStr:
     # geometrically shrinking live set).  Any valid non-overlapping parse
     # decodes identically; 128 measured best on the synthetic web corpus
     # (ratio 0.28 vs 0.36 at window 16; larger also = fewer truncated
-    # matches = fewer tokens = faster).  Must stay < 255: the window bound
-    # doubles as the uint8 avail cap that match_at compares against the
-    # empty-slot length sentinel.
-    WINDOW = 128
+    # matches = fewer tokens = faster; 240 measured best with the match-all
+    # parse).  Must stay < 255: the window bound doubles as the uint8 avail
+    # cap that match_at compares against the empty-slot length sentinel.
+    WINDOW = 240
     # cache blocking: ~L2-sized tiles keep multi-core scaling off the
-    # shared memory bus (same sizing rationale as round 2's digram codec)
-    TILE_BYTES = 1 << 18
+    # shared memory bus (same sizing rationale as round 2's digram codec);
+    # 2^19 measured best for encode with the match-all parse (fewer
+    # per-tile fixed costs), within noise for decode
+    TILE_BYTES = 1 << 19
 
     # ---- vectorized longest-match compression ---------------------------
 
@@ -332,34 +386,39 @@ class FsstStr:
         return wstart, wend
 
     def _parse_match(self, blob, words, wstart, wend, table: _SymbolTable, n: int):
-        """Lockstep greedy parse with lazy matching: every window walks its
-        own chain of longest matches simultaneously, and the (expensive)
-        match is computed only at visited positions (~1/avg_symbol_len of
-        all positions).  -> (visited bool[n], code uint8[n], mlen uint8[n]),
-        the latter two valid at visited positions only."""
-        visited = np.zeros(n, dtype=bool)
-        codearr = np.empty(n, dtype=np.uint8)
-        mlenarr = np.empty(n, dtype=np.uint8)
-        cur = wstart.copy()
-        live = np.flatnonzero(cur < wend)
-        while live.size:
-            c = cur[live]
-            code, mlen = table.match_at(blob, words, c, wend[live] - c)
-            visited[c] = True
-            codearr[c] = code
-            mlenarr[c] = mlen
-            cur[live] = c + mlen
-            live = live[cur[live] < wend[live]]
-        return visited, codearr, mlenarr
+        """Lockstep greedy parse: the longest match is precomputed at EVERY
+        byte position in one contiguous vectorized pass (match_all), then
+        every window walks its own chain of matches simultaneously — the
+        walk itself is 4 cheap ops per round over a compacted live set,
+        collecting the visited positions per round (one final sort beats a
+        bool scatter + flatnonzero).  -> (pos int[*] ascending token starts,
+        code uint8[n], mlen uint8[n]), the latter two read at ``pos`` only."""
+        if n == 0 or wstart.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.uint8), np.empty(0, np.uint8)
+        # int32 cursors halve walk/avail bandwidth (a tile is always < 2 GiB)
+        it = np.int32 if n < (1 << 31) else np.int64
+        cur = wstart.astype(it)
+        end = wend.astype(it)
+        # windows tile the values exactly, so repeat(wend, wlen) is per-byte
+        avail = (np.repeat(end, end - cur) - np.arange(n, dtype=it)).astype(np.uint8)
+        codearr, mlenarr = table.match_all(blob, words, avail)
+        rounds = []
+        while cur.size:
+            rounds.append(cur)
+            cur = cur + mlenarr[cur]
+            keep = cur < end
+            cur = cur[keep]
+            end = end[keep]
+        pos = np.sort(np.concatenate(rounds)) if len(rounds) > 1 else rounds[0]
+        return pos, codearr, mlenarr
 
-    def _emit(self, blob, offs, code, visited) -> BO:
-        pos = np.flatnonzero(visited)
+    def _emit(self, blob, offs, code, pos) -> BO:
         c = code[pos]
         esc = c == 0xFF
-        sz = np.where(esc, np.int64(2), np.int64(1))
-        ocum = np.empty(pos.size + 1, dtype=np.int64)
+        # 1 output byte per token, 2 for escapes; int32 cumsum (tile-local)
+        ocum = np.empty(pos.size + 1, dtype=np.int32)
         ocum[0] = 0
-        np.cumsum(sz, out=ocum[1:])
+        np.cumsum(esc.view(np.uint8) + np.uint8(1), dtype=np.int32, out=ocum[1:])
         out = np.empty(int(ocum[-1]), dtype=np.uint8)
         st = ocum[:-1]
         out[st[~esc]] = c[~esc]
@@ -374,8 +433,8 @@ class FsstStr:
         if blob.size == 0:
             return np.zeros(0, np.uint8), np.zeros(offs.size - 1, np.int64)
         wstart, wend = self._window_bounds(offs)
-        visited, codearr, _ = self._parse_match(blob, _words8(blob), wstart, wend, table, blob.size)
-        return self._emit(blob, offs, codearr, visited)
+        pos, codearr, _ = self._parse_match(blob, _words8(blob), wstart, wend, table, blob.size)
+        return self._emit(blob, offs, codearr, pos)
 
     # ---- training (iterative gain-maximization over a sample) -----------
 
@@ -389,13 +448,20 @@ class FsstStr:
         table = _SymbolTable(*empty)
         if sblob.size == 0:
             return table
-        n = sblob.size
-        wstart, wend = self._window_bounds(soffs)
         words = _words8(sblob)
         vid = np.repeat(np.arange(soffs.size - 1), np.diff(soffs))
-        for _ in range(self.TRAIN_ITERS):
-            visited, codearr, mlenarr = self._parse_match(sblob, words, wstart, wend, table, n)
-            pos = np.flatnonzero(visited)
+        for it in range(self.TRAIN_ITERS):
+            # growing sample: whole values covering the first TRAIN_INIT<<it
+            # bytes (prefix slices stay contiguous, so the strided views in
+            # match_all remain valid)
+            lim = min(sblob.size, self.TRAIN_INIT << it)
+            e = min(max(1, int(np.searchsorted(soffs, lim))), soffs.size - 1)
+            po = soffs[: e + 1]
+            ni = int(po[-1])
+            wstart, wend = self._window_bounds(po)
+            pos, codearr, mlenarr = self._parse_match(
+                sblob[:ni], words[:ni], wstart, wend, table, ni
+            )
             c = codearr[pos]
             esc = c == 0xFF
             tlen = np.where(esc, np.uint8(1), mlenarr[pos])
@@ -496,26 +562,15 @@ class FsstStr:
             return np.concatenate(blobs), np.concatenate([[0], *offs_parts]).astype(np.int64)
         return self._decode_block(codes_all, comp_lens, sym_len, sym_bytes)
 
-    @staticmethod
-    def _scatter_tail(out, base, codes, lens8, sym_bytes, start_idx):
-        """Scatter symbol bytes 1..7 via shrinking index arrays (total work
-        = output bytes, no per-j full rescans).  Measured FASTER than the
-        "carry filtered triplets" variant (one index filter per round beats
-        three array filters + per-round column copies by ~20%)."""
-        idx = start_idx
-        j = 1
-        while idx.size:
-            out[base[idx] + j] = sym_bytes[codes[idx], j]
-            j += 1
-            if j == 8:
-                break
-            idx = idx[lens8[idx] > j]
-
     def _decode_block(self, codes, comp_lens, sym_len, sym_bytes) -> BO:
+        """One repeat+gather pass: out[k] = sym_flat[code_of_token(k)*8 +
+        offset_within_token(k)].  Replaces the per-length scatter loop
+        (was >50% of decode wall — per-round fancy-index gathers); the
+        single np.take over the flattened symbol table runs ~5x faster."""
         nb = codes.size
         off_t = np.int32 if nb * 8 < (1 << 31) else np.int64
         ep_all = np.flatnonzero(codes == _ESCAPE)
-        lens8 = sym_len[codes]
+        lens8 = np.take(sym_len, codes, mode="clip")
 
         if ep_all.size:
             # runs of consecutive 0xFF bytes alternate escape/literal: codes
@@ -535,19 +590,16 @@ class FsstStr:
         out_offs = np.empty(nb + 1, dtype=off_t)
         out_offs[0] = 0
         np.cumsum(lens8, dtype=off_t, out=out_offs[1:])
-        out = np.empty(int(out_offs[-1]), dtype=np.uint8)
+        total = int(out_offs[-1])
         base = out_offs[:-1]
+        # flat gather index: token's symbol row (code*8) + offset inside it
+        rows = np.repeat(np.left_shift(codes.astype(off_t), 3), lens8)
+        rows += np.arange(total, dtype=off_t)
+        rows -= np.repeat(base, lens8)
+        out = np.take(sym_bytes.reshape(-1), rows, mode="clip")
 
-        if ep_all.size == 0:
-            # fast path (the common case: no escape bytes in this block)
-            out[base] = sym_bytes[codes, 0]
-            self._scatter_tail(out, base, codes, lens8, sym_bytes, np.flatnonzero(lens8 > 1))
-        else:
-            emit = lens8 > 0
-            emit[true_esc_pos] = False
-            cp = np.flatnonzero(emit)
-            out[base[cp]] = sym_bytes[codes[cp], 0]
-            self._scatter_tail(out, base, codes, lens8, sym_bytes, cp[lens8[cp] > 1])
+        if ep_all.size:
+            # escape tokens gathered row 255 (zeros); overwrite with literals
             tev = true_esc_pos[true_esc_pos + 1 < nb]
             out[base[tev]] = codes[tev + 1]
 
