@@ -495,9 +495,15 @@ class FsstStr:
         # a caller encoding MANY small fragments of one distribution (e.g.
         # the bucketed per-partition encode) trains once and shares the
         # table via cache — training dominates tiny-fragment encode cost.
-        # The table is persisted per payload either way, so decode is
-        # unaffected and fragments stay self-describing.
-        table = (cache or {}).get("fsst_table") or self._train(blob, offs)
+        # ``fsst_table_fn`` is the lazy form: a memoizing thunk trained on
+        # first fsst use, so partitions whose auto-chosen codec is not fsst
+        # never pay training.  The table is persisted per payload either
+        # way, so decode is unaffected and fragments stay self-describing.
+        cache = cache or {}
+        table = cache.get("fsst_table")
+        if table is None:
+            fn = cache.get("fsst_table_fn")
+            table = fn() if fn is not None else self._train(blob, offs)
         nsym = table.n
         sym_lens = table.lens[:nsym]
         bytes8 = (
@@ -526,6 +532,15 @@ class FsstStr:
         )
 
     def decode_bo(self, payload: bytes, params: dict, n: int) -> BO:
+        if "nsym" not in params:
+            # the pre-true-FSST wire format (params 'pairs'/'singles'/
+            # 'rounds', big-endian digram tables) is not decodable by this
+            # build — fail with a clear error instead of a numpy shape error
+            raise ValueError(
+                "unsupported legacy fsst payload (params "
+                f"{sorted(params)}): stores written by the digram-stacking "
+                "codec must be re-encoded with this build"
+            )
         sym_lens_b, sym_blob_b, clens_pay, codes_b = unpack_sections(payload)[:4]
         if n == 0:
             return np.zeros(0, np.uint8), np.zeros(1, np.int64)

@@ -238,25 +238,32 @@ _ERROR_CASES = [
 
 
 def q_decode_error_semantics(spark, sf_dir):
-    """The reference's checked-decode error domain surfaced END TO END
-    through Spark: each case's payload rides an executor-side strict decode
-    (safe=True) and comes back as its status — Overflow on
-    MAX_LAST_VARINT_BYTE / too-long varints (src/decode/mod.rs:42-48),
-    NotEnoughBytes on truncation (src/lib.rs:211-222), golden values on the
-    ok cases.  Ten demonstrative rows — a semantics pin, not a hot path."""
+    """The reference's checked-decode error domain AND the *_unsafe
+    truncating-cast semantics surfaced END TO END through Spark in one
+    query: each case's payload rides an executor-side decode in its
+    ``mode`` — strict (safe=True): Overflow on MAX_LAST_VARINT_BYTE /
+    too-long varints (src/decode/mod.rs:42-48), NotEnoughBytes on
+    truncation (src/lib.rs:211-222), golden values on the ok cases
+    (src/lib.rs:89-185); unsafe (safe=False): overlong varints decode with
+    values masked to the target width like the reference's cast_u32/
+    cast_u64 (src/num.rs:74-81).  Fifteen demonstrative rows pinned
+    against a constant-table oracle — a semantics pin, not a hot path."""
     import pyarrow as pa
 
     from .kernels import varint as vk
     from .kernels.errors import VarIntDecodeError
 
+    rows = [(c, bytearray(p), w, "safe") for c, p, w, _, _ in _ERROR_CASES] + [
+        (c, bytearray(p), w, "unsafe") for c, p, w, _ in _UNSAFE_CASES
+    ]
     df = spark.createDataFrame(
-        [(c, bytearray(p), w) for c, p, w, _, _ in _ERROR_CASES],
-        "case_name string, payload binary, width int",
+        rows, "case_name string, payload binary, width int, mode string"
     )
 
     out_schema = T.StructType(
         [
             T.StructField("case_name", T.StringType()),
+            T.StructField("mode", T.StringType()),
             T.StructField("status", T.StringType()),
             T.StructField("value", T.StringType()),
         ]
@@ -267,18 +274,19 @@ def q_decode_error_semantics(spark, sf_dir):
             names = batch.column(0).to_pylist()
             payloads = batch.column(1).to_pylist()
             widths = batch.column(2).to_pylist()
+            modes = batch.column(3).to_pylist()
             status, values = [], []
-            for p, w in zip(payloads, widths):
+            for p, w, m in zip(payloads, widths, modes):
                 try:
-                    v = vk.decode(p, count=1, width=w, safe=True)
+                    v = vk.decode(p, count=1, width=w, safe=(m == "safe"))
                     status.append("ok")
                     values.append(str(int(v[0])))
                 except VarIntDecodeError as exc:
                     status.append(type(exc).__name__)
                     values.append(None)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(names), pa.array(status), pa.array(values)],
-                names=["case_name", "status", "value"],
+                [pa.array(names), pa.array(modes), pa.array(status), pa.array(values)],
+                names=["case_name", "mode", "status", "value"],
             )
 
     return df.mapInArrow(fn, schema=out_schema)
@@ -297,46 +305,14 @@ _UNSAFE_CASES = [
 ]
 
 
-def q_decode_unsafe_semantics(spark, sf_dir):
-    """The reference's *_unsafe truncating-cast semantics end to end:
-    overlong varints decode with values masked to the target width instead
-    of erroring (safe=False), pinned against a constant-table oracle."""
-    import pyarrow as pa
-
-    from .kernels import varint as vk
-
-    df = spark.createDataFrame(
-        [(c, bytearray(p), w) for c, p, w, _ in _UNSAFE_CASES],
-        "case_name string, payload binary, width int",
-    )
-    out_schema = T.StructType(
-        [T.StructField("case_name", T.StringType()), T.StructField("value", T.StringType())]
-    )
-
-    def fn(batches):
-        for batch in batches:
-            names = batch.column(0).to_pylist()
-            payloads = batch.column(1).to_pylist()
-            widths = batch.column(2).to_pylist()
-            vals = [
-                str(int(vk.decode(p, count=1, width=w, safe=False)[0]))
-                for p, w in zip(payloads, widths)
-            ]
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(names), pa.array(vals)], names=["case_name", "value"]
-            )
-
-    return df.mapInArrow(fn, schema=out_schema)
-
-
-_UNSAFE_ORACLE_ROWS = ", ".join(
-    f"('{c}', '{v}')" for c, _, _, v in _UNSAFE_CASES
-)
-
-
+# combined constant-table oracle: safe cases carry their status/value,
+# unsafe cases always decode ok with the width-masked value
 _ERROR_ORACLE_ROWS = ", ".join(
-    f"('{c}', '{s}', " + (f"'{v}'" if v is not None else "NULL::VARCHAR") + ")"
-    for c, _, _, s, v in _ERROR_CASES
+    [
+        f"('{c}', 'safe', '{s}', " + (f"'{v}'" if v is not None else "NULL::VARCHAR") + ")"
+        for c, _, _, s, v in _ERROR_CASES
+    ]
+    + [f"('{c}', 'unsafe', 'ok', '{v}')" for c, _, _, v in _UNSAFE_CASES]
 )
 
 
@@ -385,20 +361,16 @@ def q_store_roundtrip_colocated(spark, sf_dir):
     (chunk-partitioned parquet + manifest lineage) -> manifest-gated
     read_encoded -> decode_table_colocated (zero-exchange mapInArrow over
     the store layout).  Oracle = identity select (bit-identical decode)."""
-    import hashlib
-    import os
-    import tempfile
+    import shutil
 
+    from .driver_tmp import pid_tmp_root
     from .operators import decode_table_colocated
     from .sources.checkpoint import EncodedStore
 
     df = _read(spark, sf_dir, "documents")
-    # stable per-(sf_dir) path, overwritten each run — repeated bench/test
-    # invocations must not accumulate encoded copies in /tmp
-    tag = hashlib.blake2b(f"{sf_dir}:{os.getpid()}".encode(), digest_size=6).hexdigest()
-    root = f"{tempfile.gettempdir()}/vss_storeq_{tag}"
-    import shutil
-
+    # pid-scoped, atexit-removed — repeated bench/test invocations must not
+    # accumulate encoded copies in /tmp
+    root = pid_tmp_root("vss_storeq", sf_dir)
     shutil.rmtree(root, ignore_errors=True)  # fresh store, no manifest growth
     store = EncodedStore(spark, root)
     store.commit(encode_table(df, key="doc_id", n_chunks=8))
@@ -423,16 +395,13 @@ def q_bucketed_roundtrip_documents(spark, sf_dir):
     encode into url-hash-bucket fragments (zero exchanges on raw rows) ->
     repartition("bucket") ships only encoded bytes -> bucket-partitioned
     store -> colocated decode.  Oracle = identity select."""
-    import hashlib
-    import os
     import shutil
-    import tempfile
 
+    from .driver_tmp import pid_tmp_root
     from .operators import decode_table_colocated, encode_table_bucketed
 
     df = _read(spark, sf_dir, "documents")
-    tag = hashlib.blake2b(f"{sf_dir}:{os.getpid()}".encode(), digest_size=6).hexdigest()
-    root = f"{tempfile.gettempdir()}/vss_bktq_{tag}"
+    root = pid_tmp_root("vss_bktq", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     inp = f"{root}/in"
     df.write.parquet(inp)
@@ -447,16 +416,13 @@ def q_key_lookup_documents(spark, sf_dir):
     """Point lookup through the full pruning cascade: bucket PartitionFilter
     -> zone-map chunk prune -> single-chunk decode -> exact row filter.
     Oracle = WHERE doc_id = <k>."""
-    import hashlib
-    import os
     import shutil
-    import tempfile
 
+    from .driver_tmp import pid_tmp_root
     from .operators import encode_table_bucketed, lookup_by_key
 
     df = _read(spark, sf_dir, "documents")
-    tag = hashlib.blake2b(f"{sf_dir}:{os.getpid()}".encode(), digest_size=6).hexdigest()
-    root = f"{tempfile.gettempdir()}/vss_lookupq_{tag}"
+    root = pid_tmp_root("vss_lookupq", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     df.write.parquet(f"{root}/in")
     src = spark.read.parquet(f"{root}/in")
@@ -473,18 +439,15 @@ def q_streaming_encode_documents(spark, sf_dir):
     select — after catch-up the store must contain exactly the input,
     which also pins exactly-once commit semantics (duplicated batch
     replays would fail the row-count/hash match)."""
-    import hashlib
-    import os
     import shutil
-    import tempfile
 
+    from .driver_tmp import pid_tmp_root
     from .operators import decode_table_colocated
     from .sources.checkpoint import EncodedStore
     from .streaming.incremental import encode_stream
 
     df = _read(spark, sf_dir, "documents")
-    tag = hashlib.blake2b(f"{sf_dir}:{os.getpid()}".encode(), digest_size=6).hexdigest()
-    root = f"{tempfile.gettempdir()}/vss_streamq_{tag}"
+    root = pid_tmp_root("vss_streamq", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     # two input files -> two micro-batches (maxFilesPerTrigger=1)
     half = df.count() // 2
@@ -499,10 +462,31 @@ def q_streaming_encode_documents(spark, sf_dir):
     return decode_table_colocated(store.read_encoded()).drop("__chunk")
 
 
-def q_compression_metrics_lineitem(spark, sf_dir):
-    df = _read(spark, sf_dir, "lineitem")
-    enc = encode_table(df, key="l_orderkey", n_chunks=8)
-    return chunk_metrics(enc)
+def q_filtered_decode_documents(spark, sf_dir):
+    """Filter pushdown through the codec layer (the scan-avoidance read
+    path): encode -> store -> ``decode_table_colocated(where=...)``.  The
+    predicate runs three tiers deep inside the decode UDF — zone-map chunk
+    skip (excluded chunks never touch payload bytes), predicate-first
+    decode (non-predicate columns decode only when rows survive), in-UDF
+    row filter (only matching rows cross Arrow IPC).  ``lang`` is a
+    predicate-only column: decoded for the mask, dropped from the output.
+    Oracle = the plain SQL WHERE."""
+    import shutil
+
+    from .driver_tmp import pid_tmp_root
+    from .operators import decode_table_colocated
+    from .sources.checkpoint import EncodedStore
+
+    df = _read(spark, sf_dir, "documents")
+    root = pid_tmp_root("vss_filterq", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    store = EncodedStore(spark, root)
+    store.commit(encode_table(df, key="doc_id", n_chunks=8))
+    return decode_table_colocated(
+        store.read_encoded(),
+        columns=["doc_id", "n_chars", "source"],
+        where=[("n_chars", ">=", 400), ("lang", "==", "en")],
+    ).drop("__chunk")
 
 
 def q_compression_bound_lineitem(spark, sf_dir):
@@ -550,15 +534,17 @@ QUERIES = {
     "props_roundtrip_events": q_props_roundtrip_events,
     "codec_size_rollup": q_codec_size_rollup,
     "decode_error_semantics": q_decode_error_semantics,
-    "decode_unsafe_semantics": q_decode_unsafe_semantics,
     "store_roundtrip_colocated": q_store_roundtrip_colocated,
     "bucketed_roundtrip_documents": q_bucketed_roundtrip_documents,
     "key_lookup_documents": q_key_lookup_documents,
     "streaming_encode_documents": q_streaming_encode_documents,
     "zone_map_prune_events": q_zone_map_prune_events,
     "decode_aggregate_documents": q_decode_aggregate_documents,
+    "filtered_decode_documents": q_filtered_decode_documents,
     "verify_roundtrip_documents": q_verify_roundtrip_documents,
-    "compression_metrics_lineitem": q_compression_metrics_lineitem,
+    # compression_metrics (raw chunk_metrics rows) was retired in round 4:
+    # superseded by the oracle-checked compression_bound_lineitem — its raw
+    # engine-internal sizes could only ever take a rows-only check
     "compression_bound_lineitem": q_compression_bound_lineitem,
     **PIPELINE_QUERIES,
 }
@@ -615,19 +601,20 @@ ORACLES = {
     ),
     "decode_error_semantics": (
         f"SELECT * FROM (VALUES {_ERROR_ORACLE_ROWS}) "
-        "AS t(case_name, status, value)"
+        "AS t(case_name, mode, status, value)"
     ),
     "store_roundtrip_colocated": "SELECT * FROM documents",
     "bucketed_roundtrip_documents": "SELECT * FROM documents",
     "key_lookup_documents": "SELECT * FROM documents WHERE doc_id = 137",
     "streaming_encode_documents": "SELECT * FROM documents",
-    "decode_unsafe_semantics": (
-        f"SELECT * FROM (VALUES {_UNSAFE_ORACLE_ROWS}) AS t(case_name, value)"
-    ),
     "zone_map_prune_events": (
         "SELECT event_id, ts, user_id, event_type, value FROM events "
         "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
         "AND ts < TIMESTAMP '2024-01-13 00:00:00'"
+    ),
+    "filtered_decode_documents": (
+        "SELECT doc_id, n_chars, source FROM documents "
+        "WHERE n_chars >= 400 AND lang = 'en'"
     ),
     "decode_aggregate_documents": (
         "SELECT * FROM ("
@@ -651,6 +638,5 @@ ORACLES = {
         )
         + ") ORDER BY \"column\""
     ),
-    # compression_metrics_lineitem: engine-internal — rows-only check
     **PIPELINE_ORACLES,
 }

@@ -305,6 +305,48 @@ def cosine_dup_pairs(
 # IVF (inverted-file) ANN — the k-means-quantizer alternative to LSH
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid cell assignment as one vectorized mapInArrow pass
+    (numpy matmul over the Arrow list buffers — no per-row Python).
+    Assignments are a pure row-local function of (vector, centroids), so
+    they are bit-stable across partitionings/parallelism — unlike the
+    k-means model's own transform, whose centroids carry run-order float
+    noise."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cnorm = (C * C).sum(axis=1)
+    base = df.select(F.col(id_col), F.col(vec_col))
+    schema = T.StructType(base.schema.fields + [T.StructField("__cell", T.IntegerType())])
+
+    def fn(batches):
+        for batch in batches:
+            emb = batch.column(1)
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            V = flat.reshape(len(emb), -1)
+            # argmin_c |v-c|^2 = argmin_c (|c|^2 - 2 v.c); ties -> lowest
+            # cell index (centroids are canonically ordered)
+            cell = np.argmin(cnorm[None, :] - 2.0 * (V @ C.T), axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), pa.array(cell, type=pa.int32())],
+                schema=pa.schema(
+                    [batch.schema.field(0), batch.schema.field(1), pa.field("__cell", pa.int32())]
+                ),
+            )
+
+    return base.mapInArrow(fn, schema=schema)
+
+
 def build_ivf_index(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -318,7 +360,17 @@ def build_ivf_index(
     and centroids is a small driver-side list (ship it with the index —
     :func:`write_ivf_index` stores it as a JSON sidecar).  Complementary to
     the LSH index: IVF adapts to the data distribution (clustered
-    embeddings get tight cells), LSH is data-independent."""
+    embeddings get tight cells), LSH is data-independent.
+
+    Determinism: the trained centroids are QUANTIZED (round 1e-6) and
+    canonically ordered (lexicographic), and cell membership is recomputed
+    from the quantized centroids (:func:`assign_cells`).  K-means float
+    reductions vary in the last bits with partition order; rounding
+    absorbs that noise, so the index, probe set, and query results are
+    bit-stable run to run — which is what lets ``ivf_topk`` carry a
+    value-checked oracle instead of a rows-only check."""
+    import numpy as np
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -328,8 +380,10 @@ def build_ivf_index(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
     )
     model = KMeans(k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell").fit(feat)
-    index = model.transform(feat).select(id_col, vec_col, "__cell")
-    centroids = [c.tolist() for c in model.clusterCenters()]
+    C = np.round(np.asarray([c for c in model.clusterCenters()], dtype=np.float64), 6)
+    C = C[np.lexsort(C.T[::-1])]  # canonical cell numbering
+    centroids = [c.tolist() for c in C]
+    index = assign_cells(df, centroids, vec_col, id_col)
     return index, centroids
 
 

@@ -209,17 +209,26 @@ def simhash_df_grouped(df, id_col: str, text_col: str):
 # ---- html/url cleanup operators (crawl-pipeline staples) ------------------
 
 
+# script/style ELEMENT CONTENTS are not text — real crawl cleanup drops
+# them, not just the tags.  (?is) = case-insensitive + dotall; alternation
+# instead of a backreference because RE2 (DuckDB) has no backrefs.
+_SCRIPT_STYLE_RE = r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+
+
 def html_to_text(col) -> Column:
-    """Strip markup from an html string column: tags -> space, whitespace
-    collapsed, trimmed.  Pure native regexp (RE2/Java-agreeing pattern —
-    no backrefs/lookarounds), so it runs JVM-side in WSCG."""
+    """Strip markup from an html string column: script/style elements
+    (including their contents) -> space, remaining tags -> space,
+    whitespace collapsed, trimmed.  Pure native regexp (RE2/Java-agreeing
+    patterns — no backrefs/lookarounds), so it runs JVM-side in WSCG."""
     c = col if isinstance(col, Column) else F.col(col)
+    c = F.regexp_replace(c, _SCRIPT_STYLE_RE, " ")
     return F.trim(F.regexp_replace(F.regexp_replace(c, "<[^>]*>", " "), r"\s+", " "))
 
 
 def html_to_text_sql_duckdb(col: str) -> str:
+    inner = f"regexp_replace({col}, '{_SCRIPT_STYLE_RE}', ' ', 'g')"
     return (
-        f"trim(regexp_replace(regexp_replace({col}, '<[^>]*>', ' ', 'g'), "
+        f"trim(regexp_replace(regexp_replace({inner}, '<[^>]*>', ' ', 'g'), "
         "'\\s+', ' ', 'g'))"
     )
 

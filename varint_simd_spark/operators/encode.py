@@ -367,8 +367,21 @@ def encode_table_bucketed(
         starts = np.concatenate([[0], np.flatnonzero(bv[1:] != bv[:-1]) + 1, [len(bv)]])
         # train string symbol tables ONCE per (partition, column): with
         # P x n_buckets small fragments, per-fragment FSST training would
-        # dominate encode cost (measured 7x slowdown without sharing)
+        # dominate encode cost (measured 7x slowdown without sharing).
+        # Training is LAZY (memoizing thunk, fired on the first fragment
+        # whose auto-chosen codec is fsst) so columns that end up
+        # dict/rle/raw never pay it.
         from ..codecs.strings import STR_CODECS
+
+        def _lazy_fsst_table(blob, offs):
+            memo = {}
+
+            def get():
+                if "t" not in memo:
+                    memo["t"] = STR_CODECS["fsst"]._train(blob, offs)
+                return memo["t"]
+
+            return get
 
         shared: dict[str, dict] = {}
         for col in columns:
@@ -378,7 +391,7 @@ def encode_table_bucketed(
                 if arr.null_count:
                     arr = pc.fill_null(arr, "" if tag == "str" else b"")
                 blob, offs = arrow_to_bo(arr)
-                shared[col] = {"fsst_table": STR_CODECS["fsst"]._train(blob, offs)}
+                shared[col] = {"fsst_table_fn": _lazy_fsst_table(blob, offs)}
         for a, b in zip(starts[:-1], starts[1:]):
             frag = table.slice(a, b - a).drop_columns("__bucket")
             bucket = int(bv[a])
@@ -419,12 +432,12 @@ def _prune(enc: DataFrame, meta: list, columns: list[str] | None):
     return enc.filter(F.col("column").isin(list(columns))), meta
 
 
-def _iter_enc_rows(batch):
+def _iter_enc_rows(batch, with_stats: bool = False):
     """Iterate encoded-chunk rows of an Arrow batch/table WITHOUT
     materializing payload bytes into Python: payloads come out as zero-copy
     memoryviews over the Arrow buffer (every decode kernel reads them via
     ``np.frombuffer``).  Yields (column, codec, payload, params_json,
-    crc_or_None, chunk_id, n_values)."""
+    crc_or_None, chunk_id, n_values[, stats_json])."""
     cols = batch.column("column")
     codecs_a = batch.column("codec")
     payloads = batch.column("payload")
@@ -433,14 +446,16 @@ def _iter_enc_rows(batch):
     crcs = batch.column("crc32") if "crc32" in names else None
     cids = batch.column("chunk_id")
     nvals = batch.column("n_values")
+    stats = batch.column("stats") if with_stats and "stats" in names else None
     if isinstance(batch, pa.Table):
         cols, codecs_a, payloads, params_a, cids, nvals = (
             a.combine_chunks() for a in (cols, codecs_a, payloads, params_a, cids, nvals)
         )
         crcs = crcs.combine_chunks() if crcs is not None else None
+        stats = stats.combine_chunks() if stats is not None else None
     for i in range(len(cols)):
         crc = crcs[i].as_py() if crcs is not None else None
-        yield (
+        row = (
             cols[i].as_py(),
             codecs_a[i].as_py(),
             memoryview(payloads[i].as_buffer()),
@@ -449,23 +464,96 @@ def _iter_enc_rows(batch):
             cids[i].as_py(),
             nvals[i].as_py(),
         )
+        if with_stats:
+            row = row + ((stats[i].as_py() if stats is not None else None),)
+        yield row
 
 
-def decode_table(enc: DataFrame, meta: list | None = None, columns: list[str] | None = None) -> DataFrame:
+_PRED_OPS = {
+    ">=": pc.greater_equal,
+    ">": pc.greater,
+    "<=": pc.less_equal,
+    "<": pc.less,
+    "==": pc.equal,
+    "!=": pc.not_equal,
+}
+
+
+def _normalize_where(where) -> list[tuple]:
+    """``where`` is a conjunction of (column, op, literal) conditions —
+    the pushdown-able predicate language (ops: >= > <= < == !=)."""
+    conds = []
+    for cond in where or []:
+        col, op, val = cond
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} (have {sorted(_PRED_OPS)})")
+        conds.append((col, op, val))
+    return conds
+
+
+def _stats_exclude(conds: list[tuple], stats_by_col: dict) -> bool:
+    """True when any condition provably matches NO row of the chunk, per
+    the per-chunk min/max zone maps (int64 domain; ts/date/bool columns
+    compare against their int64 representation)."""
+    for col, op, val in conds:
+        s = stats_by_col.get(col)
+        if not s or not isinstance(val, (int, float)) or isinstance(val, bool):
+            continue
+        lo, hi = s.get("min"), s.get("max")
+        if lo is None or hi is None:
+            continue
+        if (
+            (op in (">=", ">") and hi < val)
+            or (op == ">" and hi <= val)
+            or (op in ("<=", "<") and lo > val)
+            or (op == "<" and lo >= val)
+            or (op == "==" and not (lo <= val <= hi))
+        ):
+            return True
+    return False
+
+
+def _apply_where(decoded: dict, conds: list[tuple]):
+    """AND of the conditions over decoded Arrow arrays -> bool mask (or
+    None when no condition applies)."""
+    mask = None
+    for col, op, val in conds:
+        arr = decoded[col]
+        m = _PRED_OPS[op](arr, pa.scalar(val, arr.type))
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
+
+
+def decode_table(
+    enc: DataFrame,
+    meta: list | None = None,
+    columns: list[str] | None = None,
+    where: list[tuple] | None = None,
+) -> DataFrame:
     """Inverse of :func:`encode_table`: encoded chunks -> original rows.
 
     Self-describing (schema from the dtype tags); one groupBy on chunk_id.
     ``meta``: precomputed :func:`column_meta` (skips the planning job).
     ``columns``: decode only this subset (projection pushdown — pruned
-    columns' payloads are never read, decoded, or shipped over Arrow)."""
+    columns' payloads are never read, decoded, or shipped over Arrow).
+    ``where``: filter pushdown — same three-tier semantics as
+    :func:`decode_table_colocated` (zone-map chunk skip, predicate-first
+    decode, in-UDF row filter)."""
+    conds = _normalize_where(where)
+    out_columns = columns
+    if columns is not None and conds:
+        pred_only = [c for c, _, _ in conds if c not in columns]
+        columns = list(columns) + sorted(set(pred_only))
     if meta is None:
         meta = column_meta(enc)
     enc, meta = _prune(enc, meta, columns)
     columns = [r["column"] for r in meta]
     tags = {r["column"]: r["dtype"] for r in meta}
+    out_cols = [c for c in columns if out_columns is None or c in set(out_columns)]
+    pred_cols = list(dict.fromkeys(c for c, _, _ in conds))
     out_schema = T.StructType(
         [T.StructField("__chunk", T.LongType())]
-        + [T.StructField(r["column"], _TAG_TO_SPARK[r["dtype"]]) for r in meta]
+        + [T.StructField(c, _TAG_TO_SPARK[tags[c]]) for c in out_cols]
     )
     # Spark-facing arrow types: 32-bit-offset string/binary, UTC timestamps
     def spark_arrow_type(tag: str) -> pa.DataType:
@@ -479,27 +567,57 @@ def decode_table(enc: DataFrame, meta: list | None = None, columns: list[str] | 
 
     arrow_out = pa.schema(
         [("__chunk", pa.int64())]
-        + [(c, spark_arrow_type(tags[c])) for c in columns]
+        + [(c, spark_arrow_type(tags[c])) for c in out_cols]
     )
 
     def decode_chunk(table: pa.Table) -> pa.Table:
         n = int(table["n_values"][0].as_py())
         chunk_id = int(table["chunk_id"][0].as_py())
-        by_col = {}
-        for name, codec, payload, params, crc, _cid, _nv in _iter_enc_rows(table):
+        by_col, stats_by_col = {}, {}
+        for name, codec, payload, params, crc, _cid, _nv, st in _iter_enc_rows(
+            table, with_stats=True
+        ):
             if crc is not None and zlib.crc32(payload) != crc:
                 raise IOError(
                     f"payload corruption: chunk {chunk_id} column {name!r} "
                     f"crc mismatch (stored {crc})"
                 )
             by_col[name] = (codec, payload, json.loads(params))
-        out = {"__chunk": pa.array(np.full(n, chunk_id, dtype=np.int64))}
-        for col in columns:
-            codec, payload, params = by_col[col]
-            out[col] = decode_column_arrow(tags[col], codec, payload, params, n).cast(
-                arrow_out.field(col).type
-            )
-        return pa.table(out, schema=arrow_out)
+            if st:
+                stats_by_col[name] = json.loads(st)
+        empty = pa.table(
+            {f.name: pa.array([], type=f.type) for f in arrow_out}, schema=arrow_out
+        )
+        if conds and _stats_exclude(conds, stats_by_col):
+            return empty  # zone-map chunk skip: no payload decode at all
+        decoded = {}
+        out_set = set(out_cols)
+
+        def get(c):
+            if c not in decoded:
+                codec, payload, params = by_col[c]
+                arr = decode_column_arrow(tags[c], codec, payload, params, n)
+                if c in out_set:
+                    arr = arr.cast(arrow_out.field(c).type)
+                decoded[c] = arr
+            return decoded[c]
+
+        mask = None
+        if conds:
+            for c in pred_cols:
+                get(c)
+            mask = _apply_where(decoded, conds)
+            if int(pc.sum(mask).as_py() or 0) == 0:
+                return empty
+        out = {}
+        for col in out_cols:
+            arr = get(col)
+            out[col] = pc.filter(arr, mask) if mask is not None else arr
+        m = len(out[out_cols[0]]) if out_cols else n
+        return pa.table(
+            {"__chunk": pa.array(np.full(m, chunk_id, dtype=np.int64)), **out},
+            schema=arrow_out,
+        )
 
     return enc.groupBy("chunk_id").applyInArrow(decode_chunk, schema=out_schema)
 
@@ -509,6 +627,7 @@ def decode_table_colocated(
     meta: list | None = None,
     columns: list[str] | None = None,
     check_layout: bool = True,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Shuffle-FREE decode for chunk-partitioned encoded tables.
 
@@ -527,7 +646,25 @@ def decode_table_colocated(
     guard against silent data loss when the check is skipped.
 
     ``columns``: projection pushdown (see :func:`decode_table`).
-    """
+
+    ``where``: FILTER pushdown through the codec layer — a conjunction of
+    ``(column, op, literal)`` conditions (ops >= > <= < == !=) evaluated
+    INSIDE the decode UDF, three tiers deep:
+
+    1. zone-map chunk skip: a chunk whose min/max stats provably exclude
+       the predicate decodes NOTHING (no payload bytes touched);
+    2. predicate-first decode: surviving chunks decode only the predicate
+       columns, and bail before the remaining columns when no row matches;
+    3. row filter: only matching rows are shipped back over Arrow IPC —
+       at 100 TB the IPC-out volume is the selectivity, not the table.
+
+    Predicate columns need not be in ``columns``; they are decoded for
+    the mask and dropped from the output."""
+    conds = _normalize_where(where)
+    out_columns = columns
+    if columns is not None and conds:
+        pred_only = [c for c, _, _ in conds if c not in columns]
+        columns = list(columns) + sorted(set(pred_only))
     if check_layout:
         split = (
             enc.select(F.spark_partition_id().alias("__p"), "chunk_id")
@@ -544,12 +681,14 @@ def decode_table_colocated(
                 "encoded table is not chunk-colocated (a chunk spans scan "
                 "partitions); falling back to the one-shuffle decode_table()"
             )
-            return decode_table(enc, meta, columns)
+            return decode_table(enc, meta, out_columns, where=where)
     if meta is None:
         meta = column_meta(enc)
     enc, meta = _prune(enc, meta, columns)
     columns = [r["column"] for r in meta]
     tags = {r["column"]: r["dtype"] for r in meta}
+    out_cols = [c for c in columns if out_columns is None or c in set(out_columns)]
+    pred_cols = list(dict.fromkeys(c for c, _, _ in conds))
 
     def spark_arrow_type(tag: str) -> pa.DataType:
         if tag == "str":
@@ -562,37 +701,77 @@ def decode_table_colocated(
 
     out_schema = T.StructType(
         [T.StructField("__chunk", T.LongType())]
-        + [T.StructField(c, _TAG_TO_SPARK[tags[c]]) for c in columns]
+        + [T.StructField(c, _TAG_TO_SPARK[tags[c]]) for c in out_cols]
     )
     arrow_out = pa.schema(
-        [("__chunk", pa.int64())] + [(c, spark_arrow_type(tags[c])) for c in columns]
+        [("__chunk", pa.int64())] + [(c, spark_arrow_type(tags[c])) for c in out_cols]
     )
 
     def fn(batches):
         pending: dict[int, dict] = {}
         counts: dict[int, int] = {}
+        stats_acc: dict[int, dict] = {}
 
         def flush(chunk_id: int):
             cols = pending.pop(chunk_id)
             n = counts.pop(chunk_id)
-            out = {"__chunk": pa.array(np.full(n, chunk_id, dtype=np.int64))}
-            for c in columns:
-                codec, payload, params = cols[c]
-                out[c] = decode_column_arrow(tags[c], codec, payload, params, n).cast(
-                    arrow_out.field(c).type
-                )
-            return pa.RecordBatch.from_arrays(list(out.values()), schema=arrow_out)
+            st = stats_acc.pop(chunk_id, {})
+            # tier 1: zone-map chunk skip — provably-excluded chunks decode
+            # nothing (their payload bytes are never touched)
+            if conds and _stats_exclude(conds, st):
+                return None
+
+            decoded: dict[str, pa.Array] = {}
+
+            out_set = set(out_cols)
+
+            def get(c):
+                if c not in decoded:
+                    codec, payload, params = cols[c]
+                    arr = decode_column_arrow(tags[c], codec, payload, params, n)
+                    if c in out_set:
+                        arr = arr.cast(arrow_out.field(c).type)
+                    decoded[c] = arr
+                return decoded[c]
+
+            mask = None
+            if conds:
+                # tier 2: predicate-first decode — bail before the
+                # non-predicate columns when nothing matches
+                for c in pred_cols:
+                    get(c)
+                mask = _apply_where(decoded, conds)
+                if int(pc.sum(mask).as_py() or 0) == 0:
+                    return None
+            out = {}
+            for c in out_cols:
+                arr = get(c)
+                # tier 3: only surviving rows cross Arrow IPC
+                out[c] = pc.filter(arr, mask) if mask is not None else arr
+            m = len(out[out_cols[0]]) if out_cols else (
+                int(pc.sum(mask).as_py()) if mask is not None else n
+            )
+            chunk_arr = pa.array(np.full(m, chunk_id, dtype=np.int64))
+            return pa.RecordBatch.from_arrays(
+                [chunk_arr] + [out[c] for c in out_cols], schema=arrow_out
+            )
 
         for batch in batches:
-            for name, codec, payload, params, crc, cid, nv in _iter_enc_rows(batch):
+            for name, codec, payload, params, crc, cid, nv, st in _iter_enc_rows(
+                batch, with_stats=True
+            ):
                 if crc is not None and zlib.crc32(payload) != crc:
                     raise IOError(
                         f"payload corruption: chunk {cid} column {name!r} crc mismatch"
                     )
                 pending.setdefault(cid, {})[name] = (codec, payload, json.loads(params))
                 counts[cid] = nv
+                if st:
+                    stats_acc.setdefault(cid, {})[name] = json.loads(st)
                 if len(pending[cid]) == len(columns):
-                    yield flush(cid)
+                    got = flush(cid)
+                    if got is not None:
+                        yield got
         # chunks missing columns at end-of-partition indicate a layout that
         # split a chunk across partitions — decode_table (shuffled) handles
         # those; here it is a hard error to avoid silent data loss

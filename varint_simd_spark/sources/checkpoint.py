@@ -198,6 +198,15 @@ def _check_ingest_conf(store: EncodedStore, df: DataFrame, layout: dict) -> None
     layout["input_files_sha"] = hashlib.sha256("\n".join(files).encode()).hexdigest()
     layout["n_input_files"] = len(files)
 
+    if "://" in store.root and not store.root.startswith("file:"):
+        # the layout lock is read/written with local-filesystem calls; on a
+        # remote store root (s3://, hdfs://) those would silently write a
+        # dead local file and never guard recovery re-runs.  A remote
+        # deployment should route this sidecar through the Hadoop
+        # FileSystem API; fail fast until it does.
+        raise NotImplementedError(
+            f"ingest layout lock requires a local store root, got {store.root!r}"
+        )
     os.makedirs(store.root, exist_ok=True)
     conf_path = f"{store.root}/_ingest_conf.json"
     if os.path.exists(conf_path):

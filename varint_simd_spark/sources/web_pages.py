@@ -82,11 +82,33 @@ def generate_web_pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
     for code, cum in reversed(list(zip(LANGS[:-1], _LANG_CUM[:-1]))):
         lang = F.when(lang_draw < cum, F.lit(code)).otherwise(lang)
 
+    # deterministic script/style blocks on a subset of pages: crawl-cleanup
+    # operators (html_to_text) must drop element CONTENTS, not just tags,
+    # so the fixtures need inline js/css to prove it
+    script = F.when(
+        F.col("page_id") % 3 == 0,
+        F.concat(
+            F.lit('<script type="text/javascript">var t='),
+            F.col("page_id").cast("string"),
+            F.lit(";track(t);</script>"),
+        ),
+    ).otherwise(F.lit(""))
+    style = F.when(
+        F.col("page_id") % 5 == 0,
+        F.concat(
+            F.lit("<STYLE>body{margin:"),
+            (F.col("page_id") % 7).cast("string"),
+            F.lit("px}</STYLE>"),
+        ),
+    ).otherwise(F.lit(""))
     html = F.encode(
         F.concat(
             F.lit("<html><head><title>"),
             host,
-            F.lit("</title></head><body><p>"),
+            F.lit("</title>"),
+            script,
+            style,
+            F.lit("</head><body><p>"),
             text,
             F.lit("</p></body></html>"),
         ),
