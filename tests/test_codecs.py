@@ -209,3 +209,83 @@ def test_varint_codec_width_specialization():
     for vals, w in [([65535], "16"), ([2**20], "32"), ([2**40], "64"), ([-1], "64")]:
         _, p = impl.encode(np.array(vals, dtype=np.int64))
         assert p["width"] == w, (vals, p)
+
+
+# --------------------------------------------------------------------------
+# row-selected decode (filter-pushdown random access)
+
+
+def _mk_bo(values):
+    from varint_simd_spark.codecs.strings import list_to_bo
+
+    return list_to_bo(values)
+
+
+@pytest.mark.parametrize("codec", ["raw_str", "dict_str", "rle_str", "fsst"])
+def test_str_decode_selected_matches_full(codec):
+    """decode_bo_selected(idx) must equal decode_bo()[idx] for every string
+    codec — the contract behind the filter-pushdown decode's tier 2b."""
+    from varint_simd_spark.codecs.strings import STR_CODECS, bo_to_list
+
+    rng = np.random.default_rng(5)
+    vals = []
+    for i in range(300):
+        if codec == "rle_str":
+            vals.append(b"run%d" % (i // 17))  # long runs
+        elif codec == "dict_str":
+            vals.append(b"dict%d" % (i % 7))
+        else:
+            vals.append(bytes(rng.integers(97, 123, rng.integers(0, 40), dtype=np.uint8)))
+    impl = STR_CODECS[codec]
+    payload, params = impl.encode_bo(_mk_bo(vals))
+    full = bo_to_list(impl.decode_bo(payload, params, len(vals)))
+    for idx in ([], [0], [299], [0, 1, 2], list(range(0, 300, 7)), list(range(300))):
+        got = bo_to_list(impl.decode_bo_selected(payload, params, len(vals), np.array(idx, dtype=np.int64)))
+        assert got == [full[i] for i in idx], (codec, idx[:5])
+
+
+def test_decode_column_arrow_selected_nulls_and_ints():
+    import pyarrow as pa
+
+    from varint_simd_spark.codecs.base import (
+        decode_column_arrow,
+        decode_column_arrow_selected,
+        encode_column_arrow,
+    )
+
+    arr = pa.array([1, None, 3, None, 5, 6, 7, None], type=pa.int64())
+    tag, payload, params = encode_column_arrow(arr, "varint")
+    idx = np.array([1, 2, 4, 7])
+    got = decode_column_arrow_selected(tag, "varint", payload, params, len(arr), idx)
+    assert got.to_pylist() == [None, 3, 5, None]
+    sarr = pa.array(["a", None, "ccc", "dd", None], type=pa.string())
+    tag, payload, params = encode_column_arrow(sarr, "raw_str")
+    got = decode_column_arrow_selected(tag, "raw_str", payload, params, 5, np.array([0, 1, 4]))
+    assert got.to_pylist() == ["a", None, None]
+    full = decode_column_arrow(tag, "raw_str", payload, params, 5)
+    assert full.to_pylist() == sarr.to_pylist()
+
+
+def test_fsst_legacy_payload_clear_error():
+    """A store written by the retired digram codec must fail with a
+    descriptive error, not a numpy shape error."""
+    from varint_simd_spark.codecs.strings import STR_CODECS
+
+    with pytest.raises(ValueError, match="legacy fsst payload"):
+        STR_CODECS["fsst"].decode_bo(b"\x02\x01\x01ab", {"pairs": "3", "rounds": "2"}, 1)
+
+
+def test_stats_exclude_and_where_helpers():
+    from varint_simd_spark.operators.encode import _apply_where, _normalize_where, _stats_exclude
+
+    conds = _normalize_where([("x", ">=", 10), ("s", "==", "en")])
+    assert _stats_exclude(conds, {"x": {"min": 0, "max": 9}})  # provably empty
+    assert not _stats_exclude(conds, {"x": {"min": 0, "max": 10}})
+    assert not _stats_exclude(conds, {})  # no stats -> never prune
+    import pyarrow as pa
+
+    decoded = {"x": pa.array([5, 10, 20]), "s": pa.array(["en", "en", "de"])}
+    mask = _apply_where(decoded, conds)
+    assert mask.to_pylist() == [False, True, False]
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        _normalize_where([("x", "in", [1])])

@@ -149,6 +149,41 @@ def decode_column_arrow(tag: str, codec: str, payload: bytes, params: dict, n: i
     return out
 
 
+def decode_column_arrow_selected(
+    tag: str, codec: str, payload: bytes, params: dict, n: int, idx: np.ndarray
+) -> pa.Array:
+    """Row-selected decode: returns ``column[idx]`` (idx ascending).
+
+    String codecs expose random access through their per-value length
+    streams (``decode_bo_selected``) — decode cost tracks the SELECTED
+    bytes, which is what makes filter-pushdown decode cheap at low
+    selectivity.  Integer codecs decode whole-column (their vectorized
+    kernels are already cheap and delta/FOR need the prefix anyway) and
+    subset the result."""
+    null_mask = None
+    if params.get("nulls") == "1":
+        bitmap_b, payload = unpack_sections(payload)
+        null_mask = np.unpackbits(np.frombuffer(bitmap_b, dtype=np.uint8))[:n].astype(bool)[idx]
+
+    if tag in STR_TAGS:
+        sc = STR_CODECS[codec]
+        if hasattr(sc, "decode_bo_selected"):
+            bo = sc.decode_bo_selected(payload, params, n, idx)
+        else:
+            blob, offs = sc.decode_bo(payload, params, n)
+            from .strings import _gather_values
+
+            bo = _gather_values(blob, offs, idx)
+        out = bo_to_arrow(bo, binary=(tag == "bin"), small=True)
+    else:
+        v = INT_CODECS[codec].decode(payload, params, n)[idx]
+        out = int64_to_arrow(v, tag)
+
+    if null_mask is not None:
+        out = pc.if_else(pa.array(null_mask), pa.nulls(len(idx), type=out.type), out)
+    return out
+
+
 # --------------------------------------------------------------------------
 # pandas-facing wrappers (tests / small callers)
 

@@ -121,6 +121,12 @@ class RawStr:
         offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
         return np.frombuffer(blob, dtype=np.uint8), offs
 
+    def decode_bo_selected(self, payload: bytes, params: dict, n: int, idx: np.ndarray) -> BO:
+        """values[idx] only: the varint length stream locates each value;
+        only the selected values' bytes are copied out of the payload."""
+        blob, offs = self.decode_bo(payload, params, n)
+        return _gather_values(blob, offs, idx)
+
 
 class DictStr:
     """Dictionary encoding: unique values + varint index stream.
@@ -149,6 +155,19 @@ class DictStr:
             return np.zeros(0, np.uint8), np.zeros(1, np.int64)
         codes = varint.decode(idx_pay, count=n, width=64).astype(np.int64)
         return _gather_values(dblob, doffs, codes)
+
+    def decode_bo_selected(self, payload: bytes, params: dict, n: int, idx: np.ndarray) -> BO:
+        """values[idx] only: decode the (cheap) index stream whole, gather
+        dictionary values for the selected rows alone."""
+        dn = int(params["dict_n"])
+        dlens_pay, dblob_b, idx_pay = unpack_sections(payload)
+        dlens = varint.decode(dlens_pay, count=dn, width=64).astype(np.int64) if dn else np.zeros(0, np.int64)
+        doffs = np.concatenate([[0], np.cumsum(dlens)]).astype(np.int64)
+        dblob = np.frombuffer(dblob_b, dtype=np.uint8)
+        if len(idx) == 0 or n == 0:
+            return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+        codes = varint.decode(idx_pay, count=n, width=64).astype(np.int64)
+        return _gather_values(dblob, doffs, codes[idx])
 
 
 class RleStr:
@@ -184,6 +203,21 @@ class RleStr:
         run_lens = varint.decode(rl_pay, count=runs, width=64).astype(np.int64)
         idx = np.repeat(np.arange(runs, dtype=np.int64), run_lens)
         return _gather_values(rblob, roffs, idx)
+
+    def decode_bo_selected(self, payload: bytes, params: dict, n: int, idx: np.ndarray) -> BO:
+        """values[idx] only: map each selected row to its run via a
+        searchsorted over the run-length prefix sums."""
+        runs = int(params["runs"])
+        if runs == 0 or len(idx) == 0:
+            return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+        rlens_pay, rblob_b, rl_pay = unpack_sections(payload)
+        rlens = varint.decode(rlens_pay, count=runs, width=64).astype(np.int64)
+        roffs = np.concatenate([[0], np.cumsum(rlens)]).astype(np.int64)
+        rblob = np.frombuffer(rblob_b, dtype=np.uint8)
+        run_lens = varint.decode(rl_pay, count=runs, width=64).astype(np.int64)
+        run_ends = np.cumsum(run_lens)
+        run_of_row = np.searchsorted(run_ends, np.asarray(idx), side="right")
+        return _gather_values(rblob, roffs, run_of_row)
 
 
 _HBITS = 12  # 4096 hash slots for the len>=3 symbol map (255 symbols max)
@@ -531,7 +565,9 @@ class FsstStr:
             {"nsym": str(nsym)},
         )
 
-    def decode_bo(self, payload: bytes, params: dict, n: int) -> BO:
+    def _parse_payload(self, payload: bytes, params: dict, n: int):
+        """Wire-format header parse -> (sym_len, sym_bytes, comp_lens,
+        codes_all), shared by full and row-selected decode."""
         if "nsym" not in params:
             # the pre-true-FSST wire format (params 'pairs'/'singles'/
             # 'rounds', big-endian digram tables) is not decodable by this
@@ -542,8 +578,6 @@ class FsstStr:
                 "codec must be re-encoded with this build"
             )
         sym_lens_b, sym_blob_b, clens_pay, codes_b = unpack_sections(payload)[:4]
-        if n == 0:
-            return np.zeros(0, np.uint8), np.zeros(1, np.int64)
         nsym = len(sym_lens_b)
         sym_len = np.ones(256, dtype=np.uint8)
         sym_bytes = np.zeros((256, 8), dtype=np.uint8)
@@ -555,8 +589,31 @@ class FsstStr:
             rows = np.repeat(np.arange(nsym), sl)
             cols = np.arange(sb.size) - np.repeat(so[:-1], sl)
             sym_bytes[rows, cols] = sb
-        comp_lens = varint.decode(clens_pay, count=n, width=64).astype(np.int64)
+        comp_lens = (
+            varint.decode(clens_pay, count=n, width=64).astype(np.int64)
+            if n
+            else np.zeros(0, np.int64)
+        )
         codes_all = np.frombuffer(codes_b, dtype=np.uint8)
+        return sym_len, sym_bytes, comp_lens, codes_all
+
+    def decode_bo_selected(self, payload: bytes, params: dict, n: int, idx: np.ndarray) -> BO:
+        """Random-access decode of ``values[idx]`` only: the per-value
+        compressed lengths locate each selected value's code stream, so
+        decode cost is proportional to the SELECTED bytes, not the chunk —
+        the engine's filter-pushdown decode reads 10x less at 10%
+        selectivity."""
+        sym_len, sym_bytes, comp_lens, codes_all = self._parse_payload(payload, params, n)
+        if len(idx) == 0:
+            return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+        comp_offs = np.concatenate([[0], np.cumsum(comp_lens)]).astype(np.int64)
+        sub_codes, sub_offs = _gather_values(codes_all, comp_offs, idx)
+        return self._decode_block(sub_codes, np.diff(sub_offs), sym_len, sym_bytes)
+
+    def decode_bo(self, payload: bytes, params: dict, n: int) -> BO:
+        sym_len, sym_bytes, comp_lens, codes_all = self._parse_payload(payload, params, n)
+        if n == 0:
+            return np.zeros(0, np.uint8), np.zeros(1, np.int64)
         if codes_all.size > self.TILE_BYTES and n >= 2:
             # cache-blocked decode: tile at value boundaries (escape pairs
             # never cross values — a value's code stream is self-contained)

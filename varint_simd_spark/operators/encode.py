@@ -35,6 +35,7 @@ from ..codecs.base import (
     arrow_tag,
     arrow_to_int64,
     decode_column_arrow,
+    decode_column_arrow_selected,
     encode_column_arrow,
     tag_to_arrow,
 )
@@ -603,16 +604,24 @@ def decode_table(
             return decoded[c]
 
         mask = None
+        sel = None
         if conds:
             for c in pred_cols:
                 get(c)
-            mask = _apply_where(decoded, conds)
-            if int(pc.sum(mask).as_py() or 0) == 0:
+            mask = pc.fill_null(_apply_where(decoded, conds), False)
+            sel = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            if sel.size == 0:
                 return empty
         out = {}
         for col in out_cols:
-            arr = get(col)
-            out[col] = pc.filter(arr, mask) if mask is not None else arr
+            if sel is not None and col not in decoded:
+                codec, payload, params = by_col[col]
+                out[col] = decode_column_arrow_selected(
+                    tags[col], codec, payload, params, n, sel
+                ).cast(arrow_out.field(col).type)
+            else:
+                arr = get(col)
+                out[col] = pc.filter(arr, mask) if mask is not None else arr
         m = len(out[out_cols[0]]) if out_cols else n
         return pa.table(
             {"__chunk": pa.array(np.full(m, chunk_id, dtype=np.int64)), **out},
@@ -735,22 +744,31 @@ def decode_table_colocated(
                 return decoded[c]
 
             mask = None
+            sel = None
             if conds:
                 # tier 2: predicate-first decode — bail before the
                 # non-predicate columns when nothing matches
                 for c in pred_cols:
                     get(c)
-                mask = _apply_where(decoded, conds)
-                if int(pc.sum(mask).as_py() or 0) == 0:
+                mask = pc.fill_null(_apply_where(decoded, conds), False)
+                sel = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+                if sel.size == 0:
                     return None
             out = {}
             for c in out_cols:
-                arr = get(c)
-                # tier 3: only surviving rows cross Arrow IPC
-                out[c] = pc.filter(arr, mask) if mask is not None else arr
-            m = len(out[out_cols[0]]) if out_cols else (
-                int(pc.sum(mask).as_py()) if mask is not None else n
-            )
+                if sel is not None and c not in decoded:
+                    # tier 2b: random-access decode of the SELECTED rows
+                    # only — non-predicate columns never decode bytes the
+                    # filter already dropped
+                    codec, payload, params = cols[c]
+                    out[c] = decode_column_arrow_selected(
+                        tags[c], codec, payload, params, n, sel
+                    ).cast(arrow_out.field(c).type)
+                else:
+                    arr = get(c)
+                    # tier 3: only surviving rows cross Arrow IPC
+                    out[c] = pc.filter(arr, mask) if mask is not None else arr
+            m = len(out[out_cols[0]]) if out_cols else (sel.size if sel is not None else n)
             chunk_arr = pa.array(np.full(m, chunk_id, dtype=np.int64))
             return pa.RecordBatch.from_arrays(
                 [chunk_arr] + [out[c] for c in out_cols], schema=arrow_out
