@@ -287,5 +287,11 @@ def test_stats_exclude_and_where_helpers():
     decoded = {"x": pa.array([5, 10, 20]), "s": pa.array(["en", "en", "de"])}
     mask = _apply_where(decoded, conds)
     assert mask.to_pylist() == [False, True, False]
+    # in / between
+    conds2 = _normalize_where([("x", "in", [5, 20]), ("x", "between", (5, 25))])
+    assert _apply_where(decoded, conds2).to_pylist() == [True, False, True]
+    assert _stats_exclude(_normalize_where([("x", "in", [100, 200])]), {"x": {"min": 0, "max": 50}})
+    assert not _stats_exclude(_normalize_where([("x", "in", [100, 20])]), {"x": {"min": 0, "max": 50}})
+    assert _stats_exclude(_normalize_where([("x", "between", (60, 70))]), {"x": {"min": 0, "max": 50}})
     with pytest.raises(ValueError, match="unsupported predicate op"):
-        _normalize_where([("x", "in", [1])])
+        _normalize_where([("x", "like", "a%")])

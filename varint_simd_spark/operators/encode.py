@@ -482,12 +482,21 @@ _PRED_OPS = {
 
 def _normalize_where(where) -> list[tuple]:
     """``where`` is a conjunction of (column, op, literal) conditions —
-    the pushdown-able predicate language (ops: >= > <= < == !=)."""
+    the pushdown-able predicate language.  Ops: ``>= > <= < == !=``, plus
+    ``in`` (literal = list of values) and ``between`` (literal =
+    (lo, hi) inclusive — zone-map-prunable on both bounds)."""
     conds = []
     for cond in where or []:
         col, op, val = cond
-        if op not in _PRED_OPS:
-            raise ValueError(f"unsupported predicate op {op!r} (have {sorted(_PRED_OPS)})")
+        if op == "between":
+            lo, hi = val
+            conds.append((col, ">=", lo))
+            conds.append((col, "<=", hi))
+            continue
+        if op not in _PRED_OPS and op != "in":
+            raise ValueError(
+                f"unsupported predicate op {op!r} (have {sorted(_PRED_OPS)} + ['in', 'between'])"
+            )
         conds.append((col, op, val))
     return conds
 
@@ -496,12 +505,21 @@ def _stats_exclude(conds: list[tuple], stats_by_col: dict) -> bool:
     """True when any condition provably matches NO row of the chunk, per
     the per-chunk min/max zone maps (int64 domain; ts/date/bool columns
     compare against their int64 representation)."""
+    def is_num(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
     for col, op, val in conds:
         s = stats_by_col.get(col)
-        if not s or not isinstance(val, (int, float)) or isinstance(val, bool):
+        if not s:
             continue
         lo, hi = s.get("min"), s.get("max")
         if lo is None or hi is None:
+            continue
+        if op == "in":
+            if all(is_num(v) for v in val) and all(not (lo <= v <= hi) for v in val):
+                return True
+            continue
+        if not is_num(val):
             continue
         if (
             (op in (">=", ">") and hi < val)
@@ -520,7 +538,10 @@ def _apply_where(decoded: dict, conds: list[tuple]):
     mask = None
     for col, op, val in conds:
         arr = decoded[col]
-        m = _PRED_OPS[op](arr, pa.scalar(val, arr.type))
+        if op == "in":
+            m = pc.is_in(arr, value_set=pa.array(list(val)).cast(arr.type))
+        else:
+            m = _PRED_OPS[op](arr, pa.scalar(val, arr.type))
         mask = m if mask is None else pc.and_(mask, m)
     return mask
 
