@@ -268,14 +268,26 @@ def encode_resumable(
     """Encode only the chunks not yet committed; returns (snapshot_id or
     None if nothing to do, number of chunks encoded this run).
 
-    The planned chunk universe is 0..n_chunks-1; the pending set is a
-    driver-side anti-join of that against the manifest (both tiny).  The
-    big-side filter on the chunk expression prunes rows of already-committed
-    chunks before the encode shuffle."""
-    committed = {r["chunk_id"] for r in store.committed_chunks().collect()}
-    pending = [c for c in range(n_chunks) if c not in committed]
-    if not pending:
+    The planned chunk universe is 0..n_chunks-1; the pending set is the
+    DataFrame anti-join of that range against the manifest, and the
+    big-side row filter is a BROADCAST SEMI-JOIN against it — no
+    driver-side id list in the plan, so the path holds at millions of
+    chunks (an ``isin`` literal of the pending ids would not).  Only the
+    commit's expected-chunk bookkeeping collects ids, and only while the
+    pending set is small enough to enumerate."""
+    spark = df.sparkSession
+    universe = spark.range(n_chunks).select(F.col("id").alias("chunk_id"))
+    pending_df = universe.join(store.committed_chunks(), "chunk_id", "left_anti")
+    n_pending = pending_df.count()
+    if n_pending == 0:
         return None, 0
+    # expected-chunks manifest bookkeeping (zero-row entries for empty
+    # chunks): a driver list is metadata, not a plan element — enumerate it
+    # only while small; past that, empty-chunk re-planning is the lesser
+    # cost and the semi-join below stays fully distributed
+    pending = (
+        [r["chunk_id"] for r in pending_df.collect()] if n_pending <= 100_000 else None
+    )
 
     if salted:
         from ..plans.partitioning import salted_chunk_column
@@ -290,9 +302,13 @@ def encode_resumable(
     fn = make_encode_chunk_fn(columns, codecs or {}, key)
     enc = (
         df2.select(*columns, "__chunk")
-        .filter(F.col("__chunk").isin(pending))
+        .join(
+            F.broadcast(pending_df.select(F.col("chunk_id").alias("__chunk"))),
+            "__chunk",
+            "left_semi",
+        )
         .groupBy("__chunk")
         .applyInArrow(fn, schema=ENCODED_SCHEMA)
     )
     snapshot_id = store.commit(enc, expected_chunks=pending)
-    return snapshot_id, len(pending)
+    return snapshot_id, int(n_pending)
