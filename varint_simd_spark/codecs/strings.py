@@ -255,7 +255,7 @@ class _SymbolTable:
     first 3 bytes for len>=3 symbols (build-time collision resolution by
     gain), a 64K LUT for 2-byte symbols, a 256 LUT for 1-byte symbols."""
 
-    __slots__ = ("n", "lens", "vals", "hval", "hlen", "hcode", "hmeta", "two", "one")
+    __slots__ = ("n", "lens", "vals", "hval", "hlen", "hcode", "hmeta", "hvs", "two", "one")
 
     def __init__(self, cand_vals: np.ndarray, cand_lens: np.ndarray, gains: np.ndarray):
         # empty slots: hlen=255 can never satisfy avail>=hlen (avail is
@@ -292,6 +292,12 @@ class _SymbolTable:
         # packed (len | code<<8) per hash slot: one uint16 gather at match
         # time replaces separate hlen/hcode gathers
         self.hmeta = (self.hlen.astype(np.uint16) | (self.hcode.astype(np.uint16) << 8))
+        # pre-shifted slot values: (w << 8*(8-len)) == hvs replaces the
+        # mask-gather-and-compare ((w & LEN_MASK[len]) == hval) — one fewer
+        # LUT gather and one fewer uint64 pass per position.  Empty slots
+        # shift 0 and hold 0; they are rejected by the avail>=len test.
+        sh8 = (np.uint8(8) - np.minimum(self.hlen, np.uint8(8))).astype(np.uint64) * np.uint64(8)
+        self.hvs = self.hval << sh8
 
     def match_at(self, blob: np.ndarray, words: np.ndarray, pos: np.ndarray, avail: np.ndarray):
         """Longest match at the given positions -> (code uint8 (0xFF=escape),
@@ -347,9 +353,8 @@ class _SymbolTable:
         meta = np.take(self.hmeta, hi, mode="clip")
         slen = (meta & np.uint16(0xFF)).astype(np.uint8)
         hit = avail >= slen  # empty slots: slen=255 > any avail
-        hit &= (words & np.take(_LEN_MASK, slen, mode="clip")) == np.take(
-            self.hval, hi, mode="clip"
-        )
+        sh = (np.uint8(8) - np.minimum(slen, np.uint8(8))) << np.uint8(3)
+        hit &= np.left_shift(words, sh) == np.take(self.hvs, hi, mode="clip")
         # low 16 bits of each LE uint64 word, viewed in place
         c2 = np.take(self.two, words.view(np.uint16)[::4], mode="clip")
         hit2 = (avail >= np.uint8(2)) & (c2 != np.uint8(0xFF))
