@@ -163,7 +163,11 @@ def main() -> None:
     # engine totals.)
     import subprocess
 
-    native_write = native_read = float("inf")
+    native_write = native_read = native_read_all = float("inf")
+    all_cols_sum = F.sum(
+        F.length("url") + F.length("html") + F.length("text") + F.length("lang")
+        + F.unix_micros("warc_ts") * 0
+    )
     for _ in range(2):  # best-of-2, same protocol as the engine queries
         t0 = time.perf_counter()
         wp.write.mode("overwrite").parquet(f"{tmp}/wp_native")
@@ -171,6 +175,12 @@ def main() -> None:
         t0 = time.perf_counter()
         spark.read.parquet(f"{tmp}/wp_native").agg(F.sum(F.length("text"))).collect()
         native_read = round(min(native_read, time.perf_counter() - t0), 3)
+        # read-ALL baseline: decode_web_pages materializes EVERY column, so
+        # the apples-to-apples native number must also read every column
+        # (the text-only read above pairs with decode_web_pages_pruned)
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{tmp}/wp_native").agg(all_cols_sum).collect()
+        native_read_all = round(min(native_read_all, time.perf_counter() - t0), 3)
 
     def du(path):
         try:
@@ -182,6 +192,7 @@ def main() -> None:
     native = {
         "write_s": native_write,
         "read_s": native_read,
+        "read_all_s": native_read_all,
         "bytes": du(f"{tmp}/wp_native"),
         "engine_bytes": du(f"{tmp}/wp_enc"),
     }
