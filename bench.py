@@ -136,12 +136,17 @@ def main() -> None:
         where=[("lang", "==", "de")], check_layout=False)
           .agg(F.sum(F.length("text"))).collect(), reps=3)
     bytes_processed["decode_web_pages_filtered"] = raw_wp
-    # aggregate pushdown: partials inside the decode UDF, no decoded rows
-    # cross the Python->JVM boundary — the optimized scan-aggregate path
+    # aggregate pushdown, both tiers: decode-path (partials inside the
+    # decode UDF — no decoded rows cross the Python->JVM boundary) and
+    # stats-path (answered entirely from per-chunk exact statistics written
+    # at encode; the payload column is pruned from the scan — O(chunks))
     from varint_simd_spark.operators.encode import decode_aggregate
 
-    timed("decode_web_pages_agg_pushdown", lambda: decode_aggregate(enc_wp).collect(), reps=3)
+    timed("decode_web_pages_agg_pushdown", lambda: decode_aggregate(
+        enc_wp, use_stats=False).collect(), reps=3)
     bytes_processed["decode_web_pages_agg_pushdown"] = raw_wp
+    timed("decode_web_pages_agg_stats", lambda: decode_aggregate(enc_wp).collect(), reps=3)
+    bytes_processed["decode_web_pages_agg_stats"] = raw_wp
 
     # --- lineitem (TPC-H-ish integer/date/float mix) ----------------------
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -245,7 +250,8 @@ def main() -> None:
             enc10, meta=meta10, columns=["url", "text"],
             where=[("lang", "==", "de")], check_layout=False)
                 .agg(F.sum(F.length("text"))).collect())
-        timed10("decode_agg_pushdown", lambda: _dagg(enc10).collect())
+        timed10("decode_agg_pushdown", lambda: _dagg(enc10, use_stats=False).collect())
+        timed10("decode_agg_stats", lambda: _dagg(enc10).collect())
         t0 = time.perf_counter()
         wp10.write.mode("overwrite").parquet(f"{tmp}/wp10_native")
         nat_w10 = round(time.perf_counter() - t0, 3)

@@ -259,14 +259,17 @@ def test_zone_map_prunes_chunks_and_stays_exact(spark):
     keep_all = prune_chunks_by_range(enc, "text", lo=0, hi=1)
     assert keep_all.select("chunk_id").distinct().count() == total_chunks
 
-    # stats sanity: every int-family row carries valid JSON, strings none
+    # stats sanity: every row carries valid JSON with n_nulls; int-family
+    # rows add min/max (the zone map) and an exact decimal sum string
     rows = enc.select("column", "dtype", "stats").collect()
     for r in rows:
+        s = json.loads(r["stats"])
+        assert s["n_nulls"] >= 0
         if r["dtype"] in ("str", "bin"):
-            assert r["stats"] is None
+            assert "min" not in s  # strings have no zone map
         else:
-            s = json.loads(r["stats"])
             assert s["min"] <= s["max"]
+            assert int(s["sum"]) is not None
     enc.unpersist()
 
 
@@ -404,6 +407,39 @@ def test_decode_aggregate_pushdown_exact(spark):
     assert agg["warc_ts"]["sum_exact"] == str(exp["ts_sum"])
     assert agg["text"]["sum_bytes"] == exp["text_bytes"]
     assert agg["warc_ts"]["n_nulls"] == 0
+
+
+def test_decode_aggregate_stats_path_matches_decode_and_prunes_payload(spark, tmp_path):
+    """The metadata fast path (per-chunk exact-sum/n_nulls stats written at
+    encode) must return exactly what the payload-decode path returns —
+    including nullable ts and all-null columns — while its parquet scan
+    never reads the payload column (footer-statistics aggregation:
+    O(chunk count) at any data size)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators.encode import decode_aggregate
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id",
+        F.when(F.col("value") > 0.5, F.col("value")).alias("v_nullable"),
+        F.when(F.col("user_id") % 3 != 0, F.col("ts")).alias("ts_nullable"),
+        F.lit(None).cast("long").alias("all_null"),
+        "event_type",
+    )
+    enc = encode_table(ev, key="event_id", n_chunks=4)
+    fast = [tuple(r) for r in decode_aggregate(enc).orderBy("column").collect()]
+    slow = [tuple(r) for r in decode_aggregate(enc, use_stats=False).orderBy("column").collect()]
+    assert fast == slow, (fast, slow)
+
+    store = str(tmp_path / "aggstore")
+    enc.write.partitionBy("chunk_id").parquet(store)
+    agg = decode_aggregate(spark.read.parquet(store))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    rs = re.search(r"ReadSchema: .*", plan).group(0)
+    assert "payload" not in rs, rs
+    assert [tuple(r) for r in agg.orderBy("column").collect()] == fast
 
 
 def test_verify_roundtrip_detects_mismatch(spark):

@@ -117,13 +117,49 @@ def _ref_and_raw_bytes(arr: pa.Array, tag: str) -> tuple[int, int]:
     return int(varint.varint_len(zigzag(v)).sum()), 8 * len(arr)
 
 
+def _to_int64_keep_nulls(arr: pa.Array, tag: str) -> pa.Array:
+    """int64-domain view of an integer-family column with validity kept
+    (unlike arrow_to_int64, which requires a null-free array)."""
+    if tag == "ts_us":
+        a = arr if arr.type == pa.timestamp("us") else arr.cast(pa.timestamp("us"))
+        return a.view(pa.int64())
+    if tag == "date_d":
+        return arr.view(pa.int32()).cast(pa.int64())
+    return arr.cast(pa.int64())
+
+
+def _exact_int_sum(v: pa.Array, lo: int, hi: int) -> int:
+    """Exact sum of an int64 arrow array (nulls skipped).  Arrow sums in an
+    int64 accumulator, which WRAPS for realistic inputs (e.g. epoch-micros
+    chunks); fast path shifts by the chunk min so the vectorized sum runs
+    over the small in-chunk range, Python-int arithmetic restores it."""
+    n_nonnull = len(v) - v.null_count
+    if n_nonnull == 0:
+        return 0
+    if (hi - lo) * max(n_nonnull, 1) < (1 << 62):
+        shifted = pc.subtract(v, pa.scalar(lo, pa.int64()))
+        return int(pc.sum(shifted, min_count=0).as_py() or 0) + lo * n_nonnull
+    vv = v.drop_null().to_numpy(zero_copy_only=False)
+    return int(vv.astype(object).sum()) if vv.size else 0
+
+
 def _zone_map(arr: pa.Array, tag: str) -> str | None:
-    """JSON min/max for the zone map (integer-family columns only; the
-    int64/double domain keeps Spark-side comparisons exact).  None for
-    strings/binary and all-null chunks — absence of a zone map means the
-    chunk can never be pruned, so this is always sound."""
-    if tag in STR_TAGS or arr.null_count == len(arr):
-        return None
+    """Per-chunk statistics JSON.  min/max (the zone map, int64/double
+    domain — exact Spark-side comparisons) for integer-family columns;
+    plus an exact integer ``sum`` (string — arbitrary precision) and
+    ``n_nulls`` so aggregates can be answered from metadata alone
+    (:func:`decode_aggregate`).  Strings/binary carry only n_nulls (their
+    byte totals ride the raw_bytes column); f64 carries no sum (float
+    addition is order-dependent).  Absent keys are always sound: pruning
+    skips nothing, aggregation falls back to payload decode."""
+    st: dict = {"n_nulls": int(arr.null_count)}
+    if tag in STR_TAGS:
+        return json.dumps(st)
+    if arr.null_count == len(arr):
+        if tag != "f64":
+            st["sum"] = "0"  # SQL SUM over only-nulls is NULL, but the
+            # decode path reports "0" for empty domains — keep them equal
+        return json.dumps(st)
     mm = pc.min_max(arr)
     lo, hi = mm["min"], mm["max"]
     if tag == "ts_us":
@@ -141,8 +177,12 @@ def _zone_map(arr: pa.Array, tag: str) -> str | None:
 
             # NaN/inf are not valid strict JSON and poison ordering
             if not (math.isfinite(lo) and math.isfinite(hi)):
-                return None
-    return json.dumps({"min": lo, "max": hi})
+                return json.dumps(st)
+    st["min"], st["max"] = lo, hi
+    if tag != "f64":
+        v = _to_int64_keep_nulls(arr, tag)
+        st["sum"] = str(_exact_int_sum(v, lo, hi))
+    return json.dumps(st)
 
 
 def _encode_columns_to_rows(
@@ -834,12 +874,24 @@ _AGG_SCHEMA = T.StructType(
 )
 
 
-def decode_aggregate(enc: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """Aggregate pushdown through the codec layer: per-(chunk, column)
-    partials are computed INSIDE the decode UDF, so no decoded rows ever
-    cross the Python->JVM boundary — the UDF output is one tiny row per
-    encoded chunk row.  At 100 TB this is the difference between shipping
-    the decoded table over Arrow IPC and shipping a few numbers per chunk.
+def decode_aggregate(
+    enc: DataFrame, columns: list[str] | None = None, use_stats: bool = True
+) -> DataFrame:
+    """Aggregate pushdown through the codec layer.
+
+    Fast path (``use_stats``): every chunk row carries exact per-chunk
+    statistics written at encode time (n_nulls; exact integer sum as an
+    arbitrary-precision string; byte totals via raw_bytes), so the whole
+    aggregate is ONE native JVM job over the metadata columns — the
+    payload column is pruned from the parquet scan and no codec runs at
+    all.  This is the footer-statistics pattern: at 100 TB the aggregate
+    costs O(chunk count), not O(data).  A cheap metadata pre-check drops
+    to the decode path when any selected row lacks the stats (stores
+    written by older builds).
+
+    Decode path: per-(chunk, column) partials are computed INSIDE the
+    decode UDF, so no decoded rows ever cross the Python->JVM boundary —
+    the UDF output is one tiny row per encoded chunk row.
 
     Returns one row per column: ``n_rows`` (incl. nulls), ``n_nulls``,
     ``sum_exact`` (exact integer sum as a string — int64/bool/ts-micros/
@@ -849,6 +901,34 @@ def decode_aggregate(enc: DataFrame, columns: list[str] | None = None) -> DataFr
     Needs no chunk colocation: every encoded row decodes independently."""
     if columns is not None:
         enc = enc.filter(F.col("column").isin(list(columns)))
+
+    if use_stats:
+        meta_cols = enc.select("column", "dtype", "n_values", "raw_bytes", "stats")
+        nn = F.get_json_object("stats", "$.n_nulls")
+        sm = F.get_json_object("stats", "$.sum")
+        needs_sum = ~F.col("dtype").isin("str", "bin", "f64")
+        missing = meta_cols.filter(
+            nn.isNull() | (needs_sum & sm.isNull())
+        ).limit(1).count()
+        if missing == 0:
+            return (
+                meta_cols.groupBy("column")
+                .agg(
+                    F.sum("n_values").alias("n_rows"),
+                    F.sum(nn.cast("long")).alias("n_nulls"),
+                    F.when(
+                        F.max("dtype").isin("str", "bin", "f64"), F.lit(None)
+                    )
+                    .otherwise(
+                        F.sum(sm.cast("decimal(38,0)")).cast("string")
+                    )
+                    .alias("sum_exact"),
+                    F.when(
+                        F.max("dtype").isin("str", "bin"), F.sum("raw_bytes")
+                    ).alias("sum_bytes"),
+                )
+                .select("column", "n_rows", "n_nulls", "sum_exact", "sum_bytes")
+            )
 
     def fn(batches):
         for batch in batches:
