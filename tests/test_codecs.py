@@ -295,3 +295,47 @@ def test_stats_exclude_and_where_helpers():
     assert _stats_exclude(_normalize_where([("x", "between", (60, 70))]), {"x": {"min": 0, "max": 50}})
     with pytest.raises(ValueError, match="unsupported predicate op"):
         _normalize_where([("x", "like", "a%")])
+
+
+def test_ensure_shared_parquet_self_heals_crashed_destination(tmp_path):
+    """A half-written destination (exists, no _SUCCESS — a crashed prior
+    writer) must be replaced, not left to poison every future read; a
+    committed destination must never be rewritten."""
+    import os
+
+    from varint_simd_spark.driver_tmp import ensure_shared_parquet
+
+    dest = str(tmp_path / "corpus")
+    os.makedirs(dest)
+    open(f"{dest}/garbage.parquet", "w").write("junk")
+
+    def writer(staging):
+        os.makedirs(staging)
+        open(f"{staging}/part-0.parquet", "w").write("good")
+        open(f"{staging}/_SUCCESS", "w").write("")
+
+    ensure_shared_parquet(dest, writer)
+    assert os.path.exists(f"{dest}/_SUCCESS")
+    assert not os.path.exists(f"{dest}/garbage.parquet")
+
+    calls = []
+    ensure_shared_parquet(dest, lambda s: calls.append(s))
+    assert calls == []  # committed copy: writer not invoked
+
+
+def test_fsst_emit_offset_dtype_guard():
+    """_emit picks int64 offsets when a tile's token count could overflow
+    int32 output offsets (a single >=1 GiB value can exceed the tile
+    budget because tiles never split values)."""
+    import numpy as np
+
+    from varint_simd_spark.codecs.strings import FsstStr
+
+    codec = FsstStr()
+    small = np.arange(10, dtype=np.int64)
+    # behavioral pin at small scale plus the dtype selection rule itself
+    code = np.full(10, 0xFF, dtype=np.uint8)
+    blob = np.arange(10, dtype=np.uint8)
+    offs = np.array([0, 10], dtype=np.int64)
+    out, lens = codec._emit(blob, offs, code, small)
+    assert lens.dtype == np.int64 and int(lens[0]) == 20  # all escapes: 2B each

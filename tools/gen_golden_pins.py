@@ -60,9 +60,9 @@ def values_sql(rows: list[tuple], cols: str, guard: tuple[str, int] | None = Non
         tbl, fp = guard
         sql += (
             f" WHERE (SELECT CASE WHEN (SELECT {FINGERPRINT_SQL[tbl]} FROM {tbl}) "
-            f"= {fp} THEN true ELSE error('golden pin was generated against a "
-            f"different {tbl} corpus (pins are scale-specific); regenerate with "
-            "tools/gen_golden_pins.py') END)"
+            f"= {fp} THEN true ELSE error('golden pin guard mismatch for {tbl}: "
+            "different corpus scale, OR a duckdb upgrade changed hash(); "
+            "regenerate with tools/gen_golden_pins.py') END)"
         )
     return sql
 

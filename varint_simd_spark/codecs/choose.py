@@ -79,7 +79,7 @@ def choose_str_codec_bo(blob: np.ndarray, offs: np.ndarray) -> tuple[str, str, d
     # large column whose first 4K values are mostly distinct (web text/html)
     # can never pick dict/rle, so skip the full-column Arrow hash pass
     if n > 4096 and total > (1 << 20):
-        pcodes, (_, pdoffs) = _dict_encode_bo((blob[: offs[4096]], offs[:4097]))
+        _, (_, pdoffs) = _dict_encode_bo((blob[: offs[4096]], offs[:4097]))
         if len(pdoffs) - 1 > 2048:
             est = {
                 "raw_str": total + n,

@@ -454,10 +454,14 @@ class FsstStr:
     def _emit(self, blob, offs, code, pos) -> BO:
         c = code[pos]
         esc = c == 0xFF
-        # 1 output byte per token, 2 for escapes; int32 cumsum (tile-local)
-        ocum = np.empty(pos.size + 1, dtype=np.int32)
+        # 1 output byte per token, 2 for escapes.  int32 offsets for any
+        # normal tile; a single value can exceed the tile budget (tiles
+        # never split values), so guard the >=1 GiB-value case back to
+        # int64 — output is at most 2 bytes per token
+        ot = np.int32 if pos.size < (1 << 30) else np.int64
+        ocum = np.empty(pos.size + 1, dtype=ot)
         ocum[0] = 0
-        np.cumsum(esc.view(np.uint8) + np.uint8(1), dtype=np.int32, out=ocum[1:])
+        np.cumsum(esc.view(np.uint8) + np.uint8(1), dtype=ot, out=ocum[1:])
         out = np.empty(int(ocum[-1]), dtype=np.uint8)
         st = ocum[:-1]
         out[st[~esc]] = c[~esc]

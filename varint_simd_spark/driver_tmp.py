@@ -50,5 +50,16 @@ def ensure_shared_parquet(path: str, write_fn) -> None:
     try:
         os.rename(staging, path)
     except OSError:
-        # another process won the rename with identical deterministic bytes
-        shutil.rmtree(staging, ignore_errors=True)
+        if os.path.exists(f"{path}/_SUCCESS"):
+            # another process won the rename with identical deterministic
+            # bytes — our copy is redundant
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+        # the destination is a half-written leftover from a CRASHED prior
+        # writer (exists, no _SUCCESS): replace it, don't leave it to
+        # poison every future read
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)

@@ -329,10 +329,21 @@ def assign_cells(
 
     def fn(batches):
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             emb = batch.column(1)
             if isinstance(emb, pa.ChunkedArray):
                 emb = emb.combine_chunks()
+            if emb.null_count:
+                # flatten() would silently drop null slots and shift every
+                # later row into the wrong cell — fail loudly instead
+                raise ValueError("assign_cells: null embeddings are not assignable")
             flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            if flat.size != len(emb) * C.shape[1]:
+                raise ValueError(
+                    f"assign_cells: ragged embeddings (got {flat.size} values "
+                    f"for {len(emb)} rows of dim {C.shape[1]})"
+                )
             V = flat.reshape(len(emb), -1)
             # argmin_c |v-c|^2 = argmin_c (|c|^2 - 2 v.c); ties -> lowest
             # cell index (centroids are canonically ordered)

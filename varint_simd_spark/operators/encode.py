@@ -613,6 +613,9 @@ def decode_table(
     tags = {r["column"]: r["dtype"] for r in meta}
     out_cols = [c for c in columns if out_columns is None or c in set(out_columns)]
     pred_cols = list(dict.fromkeys(c for c, _, _ in conds))
+    unknown_pred = set(pred_cols) - set(columns)
+    if unknown_pred:
+        raise ValueError(f"where references unknown columns: {sorted(unknown_pred)}")
     out_schema = T.StructType(
         [T.StructField("__chunk", T.LongType())]
         + [T.StructField(c, _TAG_TO_SPARK[tags[c]]) for c in out_cols]
@@ -645,7 +648,7 @@ def decode_table(
                     f"crc mismatch (stored {crc})"
                 )
             by_col[name] = (codec, payload, json.loads(params))
-            if st:
+            if st and conds:
                 stats_by_col[name] = json.loads(st)
         empty = pa.table(
             {f.name: pa.array([], type=f.type) for f in arrow_out}, schema=arrow_out
@@ -759,6 +762,9 @@ def decode_table_colocated(
     tags = {r["column"]: r["dtype"] for r in meta}
     out_cols = [c for c in columns if out_columns is None or c in set(out_columns)]
     pred_cols = list(dict.fromkeys(c for c, _, _ in conds))
+    unknown_pred = set(pred_cols) - set(columns)
+    if unknown_pred:
+        raise ValueError(f"where references unknown columns: {sorted(unknown_pred)}")
 
     def spark_arrow_type(tag: str) -> pa.DataType:
         if tag == "str":
@@ -845,7 +851,7 @@ def decode_table_colocated(
                     )
                 pending.setdefault(cid, {})[name] = (codec, payload, json.loads(params))
                 counts[cid] = nv
-                if st:
+                if st and conds:
                     stats_acc.setdefault(cid, {})[name] = json.loads(st)
                 if len(pending[cid]) == len(columns):
                     got = flush(cid)

@@ -277,38 +277,44 @@ def encode_resumable(
     pending set is small enough to enumerate."""
     spark = df.sparkSession
     universe = spark.range(n_chunks).select(F.col("id").alias("chunk_id"))
-    pending_df = universe.join(store.committed_chunks(), "chunk_id", "left_anti")
-    n_pending = pending_df.count()
-    if n_pending == 0:
-        return None, 0
-    # expected-chunks manifest bookkeeping (zero-row entries for empty
-    # chunks): a driver list is metadata, not a plan element — enumerate it
-    # only while small; past that, empty-chunk re-planning is the lesser
-    # cost and the semi-join below stays fully distributed
-    pending = (
-        [r["chunk_id"] for r in pending_df.collect()] if n_pending <= 100_000 else None
-    )
-
-    if salted:
-        from ..plans.partitioning import salted_chunk_column
-
-        df2 = salted_chunk_column(df, n_chunks, key, target_rows_per_chunk)
-    else:
-        df2 = df.withColumn("__chunk", F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)))
-
-    from ..operators.encode import ENCODED_SCHEMA, make_encode_chunk_fn
-
-    columns = df.columns
-    fn = make_encode_chunk_fn(columns, codecs or {}, key)
-    enc = (
-        df2.select(*columns, "__chunk")
-        .join(
-            F.broadcast(pending_df.select(F.col("chunk_id").alias("__chunk"))),
-            "__chunk",
-            "left_semi",
+    # persist: one manifest scan + anti-join feeds the count, the
+    # bookkeeping collect, AND the semi-join below (also pins one
+    # consistent pending snapshot against concurrent committers)
+    pending_df = universe.join(store.committed_chunks(), "chunk_id", "left_anti").persist()
+    try:
+        n_pending = pending_df.count()
+        if n_pending == 0:
+            return None, 0
+        # expected-chunks manifest bookkeeping (zero-row entries for empty
+        # chunks): a driver list is metadata, not a plan element — enumerate
+        # it only while small; past that, empty-chunk re-planning is the
+        # lesser cost and the semi-join below stays fully distributed
+        pending = (
+            [r["chunk_id"] for r in pending_df.collect()] if n_pending <= 100_000 else None
         )
-        .groupBy("__chunk")
-        .applyInArrow(fn, schema=ENCODED_SCHEMA)
-    )
-    snapshot_id = store.commit(enc, expected_chunks=pending)
-    return snapshot_id, int(n_pending)
+
+        if salted:
+            from ..plans.partitioning import salted_chunk_column
+
+            df2 = salted_chunk_column(df, n_chunks, key, target_rows_per_chunk)
+        else:
+            df2 = df.withColumn("__chunk", F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)))
+
+        from ..operators.encode import ENCODED_SCHEMA, make_encode_chunk_fn
+
+        columns = df.columns
+        fn = make_encode_chunk_fn(columns, codecs or {}, key)
+        enc = (
+            df2.select(*columns, "__chunk")
+            .join(
+                F.broadcast(pending_df.select(F.col("chunk_id").alias("__chunk"))),
+                "__chunk",
+                "left_semi",
+            )
+            .groupBy("__chunk")
+            .applyInArrow(fn, schema=ENCODED_SCHEMA)
+        )
+        snapshot_id = store.commit(enc, expected_chunks=pending)
+        return snapshot_id, int(n_pending)
+    finally:
+        pending_df.unpersist()
