@@ -258,6 +258,9 @@ def main() -> None:
         t0 = time.perf_counter()
         spark.read.parquet(f"{tmp}/wp10_native").agg(F.sum(F.length("text"))).collect()
         nat_r10 = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{tmp}/wp10_native").agg(all_cols_sum).collect()
+        nat_ra10 = round(time.perf_counter() - t0, 3)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
         sf10m = {
             "pages": n10,
@@ -265,6 +268,7 @@ def main() -> None:
             "queries": t10,
             "gbps": round(len(t10) * raw10 / 1e9 / max(sum(t10.values()), 1e-9), 3),
             "native_parquet": {"write_s": nat_w10, "read_s": nat_r10,
+                               "read_all_s": nat_ra10,
                                "bytes": du(f"{tmp}/wp10_native"),
                                "engine_bytes": du(f"{tmp}/wp10_enc")},
         }
