@@ -473,3 +473,38 @@ def test_verify_roundtrip_detects_mismatch(spark):
     empty = wp.filter(F.lit(False))
     rep0 = verify_roundtrip(empty, empty, key="url").collect()
     assert all(r["n_match"] == 0 and r["identical"] for r in rep0)
+
+
+def test_filtered_decode_matches_native_filter_with_nulls(spark):
+    """decode_table(where=...) must agree with Spark's own filter on a
+    NULLABLE predicate column — SQL three-valued logic drops NULL
+    comparisons on both sides (the Arrow mask's nulls are filled False
+    before filtering), including across the selected-decode path for
+    non-predicate columns."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id",
+        F.when(F.col("user_id") % 3 != 0, F.col("value")).alias("v_nullable"),
+        "event_type",
+        "props",
+    )
+    enc = encode_table(ev, key="event_id", n_chunks=4)
+    for where, native in [
+        ([("v_nullable", ">=", 0.5)], F.col("v_nullable") >= 0.5),
+        ([("v_nullable", "<", 50.0), ("event_type", "==", "click")],
+         (F.col("v_nullable") < 50.0) & (F.col("event_type") == "click")),
+        ([("v_nullable", "between", (1.0, 80.0))], F.col("v_nullable").between(1.0, 80.0)),
+        ([("event_type", "in", ["click", "view"])], F.col("event_type").isin("click", "view")),
+    ]:
+        got = sorted(
+            tuple(r)
+            for r in decode_table(enc, columns=["event_id", "props"], where=where)
+            .drop("__chunk")
+            .collect()
+        )
+        want = sorted(
+            tuple(r) for r in ev.filter(native).select("event_id", "props").collect()
+        )
+        assert got == want, (where, len(got), len(want))
+        assert len(got) > 0, where  # predicate must actually select rows
