@@ -620,13 +620,18 @@ ORACLES = {
         "SELECT * FROM ("
         "SELECT 'doc_id' AS \"column\", COUNT(*)::BIGINT AS n_rows, "
         "(COUNT(*) - COUNT(doc_id))::BIGINT AS n_nulls, "
-        "CAST(SUM(doc_id) AS VARCHAR) AS sum_exact, NULL::BIGINT AS sum_bytes FROM documents "
+        "CAST(SUM(doc_id) AS VARCHAR) AS sum_exact, "
+        "CAST(MIN(doc_id) AS VARCHAR) AS min_exact, "
+        "CAST(MAX(doc_id) AS VARCHAR) AS max_exact, "
+        "NULL::BIGINT AS sum_bytes FROM documents "
         "UNION ALL "
         "SELECT 'n_chars', COUNT(*)::BIGINT, (COUNT(*) - COUNT(n_chars))::BIGINT, "
-        "CAST(SUM(n_chars) AS VARCHAR), NULL::BIGINT FROM documents "
+        "CAST(SUM(n_chars) AS VARCHAR), CAST(MIN(n_chars) AS VARCHAR), "
+        "CAST(MAX(n_chars) AS VARCHAR), NULL::BIGINT FROM documents "
         "UNION ALL "
         "SELECT 'text', COUNT(*)::BIGINT, (COUNT(*) - COUNT(text))::BIGINT, "
-        "NULL::VARCHAR, SUM(strlen(text))::BIGINT FROM documents"  # strlen = BYTES in DuckDB
+        "NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, "
+        "SUM(strlen(text))::BIGINT FROM documents"  # strlen = BYTES in DuckDB
         ") ORDER BY \"column\""
     ),
     "verify_roundtrip_documents": (

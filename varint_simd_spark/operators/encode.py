@@ -875,6 +875,8 @@ _AGG_SCHEMA = T.StructType(
         T.StructField("n_rows", T.LongType()),
         T.StructField("n_nulls", T.LongType()),
         T.StructField("sum_exact", T.StringType()),
+        T.StructField("min_exact", T.StringType()),
+        T.StructField("max_exact", T.StringType()),
         T.StructField("sum_bytes", T.LongType()),
     ]
 )
@@ -929,11 +931,33 @@ def decode_aggregate(
                         F.sum(sm.cast("decimal(38,0)")).cast("string")
                     )
                     .alias("sum_exact"),
+                    # guard the INPUT, not just the output: f64 stats hold
+                    # fractional min/max and an unconditional ANSI cast to
+                    # long would error even under a when() on the result
+                    F.min(
+                        F.when(
+                            ~F.col("dtype").isin("str", "bin", "f64"),
+                            F.get_json_object("stats", "$.min"),
+                        ).cast("long")
+                    )
+                    .cast("string")
+                    .alias("min_exact"),
+                    F.max(
+                        F.when(
+                            ~F.col("dtype").isin("str", "bin", "f64"),
+                            F.get_json_object("stats", "$.max"),
+                        ).cast("long")
+                    )
+                    .cast("string")
+                    .alias("max_exact"),
                     F.when(
                         F.max("dtype").isin("str", "bin"), F.sum("raw_bytes")
                     ).alias("sum_bytes"),
                 )
-                .select("column", "n_rows", "n_nulls", "sum_exact", "sum_bytes")
+                .select(
+                    "column", "n_rows", "n_nulls", "sum_exact",
+                    "min_exact", "max_exact", "sum_bytes",
+                )
             )
 
     def fn(batches):
@@ -948,6 +972,8 @@ def decode_aggregate(
                 )
                 n_nulls = arr.null_count
                 sum_exact = None
+                min_exact = None
+                max_exact = None
                 sum_bytes = None
                 t = arr.type
                 if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -971,6 +997,8 @@ def decode_aggregate(
                     # chunks stay vectorized instead of object-summing
                     mm = pc.min_max(v)
                     lo_, hi_ = mm["min"].as_py(), mm["max"].as_py()
+                    min_exact = str(lo_) if lo_ is not None else None
+                    max_exact = str(hi_) if hi_ is not None else None
                     n_nonnull = int(nv) - int(n_nulls)
                     if lo_ is None:
                         sum_exact = "0"
@@ -985,6 +1013,8 @@ def decode_aggregate(
                 out["n_rows"].append(int(nv))
                 out["n_nulls"].append(int(n_nulls))
                 out["sum_exact"].append(sum_exact)
+                out["min_exact"].append(min_exact)
+                out["max_exact"].append(max_exact)
                 out["sum_bytes"].append(sum_bytes)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -992,6 +1022,8 @@ def decode_aggregate(
                     pa.array(out["n_rows"], type=pa.int64()),
                     pa.array(out["n_nulls"], type=pa.int64()),
                     pa.array(out["sum_exact"], type=pa.string()),
+                    pa.array(out["min_exact"], type=pa.string()),
+                    pa.array(out["max_exact"], type=pa.string()),
                     pa.array(out["sum_bytes"], type=pa.int64()),
                 ],
                 names=[f.name for f in _AGG_SCHEMA.fields],
@@ -1004,6 +1036,8 @@ def decode_aggregate(
             F.sum("n_rows").alias("n_rows"),
             F.sum("n_nulls").alias("n_nulls"),
             F.sum(F.col("sum_exact").cast("decimal(38,0)")).cast("string").alias("sum_exact"),
+            F.min(F.col("min_exact").cast("long")).cast("string").alias("min_exact"),
+            F.max(F.col("max_exact").cast("long")).cast("string").alias("max_exact"),
             F.sum("sum_bytes").alias("sum_bytes"),
         )
         .orderBy("column")
