@@ -160,6 +160,17 @@ def main() -> None:
           .agg(F.sum("l_orderkey")).collect(), reps=3)
     bytes_processed["encode_lineitem"] = raw_li
     bytes_processed["decode_lineitem"] = raw_li
+    # native parquet baseline for the SAME lineitem table (pairs with
+    # encode_lineitem / decode_lineitem the way the web_pages baseline
+    # pairs with its encode/decode rows)
+    li_native_write = li_native_read = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        li.write.mode("overwrite").parquet(f"{tmp}/li_native")
+        li_native_write = round(min(li_native_write, time.perf_counter() - t0), 3)
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{tmp}/li_native").agg(F.sum("l_orderkey")).collect()
+        li_native_read = round(min(li_native_read, time.perf_counter() - t0), 3)
 
     # --- comparative baseline: Spark-native parquet on the same table -----
     # (the reference benches itself against LEB128/prost; our analog is
@@ -200,6 +211,10 @@ def main() -> None:
         "read_all_s": native_read_all,
         "bytes": du(f"{tmp}/wp_native"),
         "engine_bytes": du(f"{tmp}/wp_enc"),
+        "lineitem_write_s": li_native_write,
+        "lineitem_read_s": li_native_read,
+        "lineitem_bytes": du(f"{tmp}/li_native"),
+        "lineitem_engine_bytes": du(f"{tmp}/li_enc"),
     }
     log(f"native parquet: write {native_write}s read {native_read}s "
         f"{native['bytes']/1e6:.0f}MB vs engine {native['engine_bytes']/1e6:.0f}MB")
@@ -247,12 +262,28 @@ def main() -> None:
         meta10 = column_meta(enc10)
         timed10("decode", lambda: decode_table_colocated(enc10, meta=meta10, check_layout=False)
                 .agg(F.sum(F.length("text"))).collect())
+        timed10("decode_pruned", lambda: decode_table_colocated(
+            enc10, meta=meta10, columns=["text"], check_layout=False)
+                .agg(F.sum(F.length("text"))).collect())
         timed10("decode_filtered", lambda: decode_table_colocated(
             enc10, meta=meta10, columns=["url", "text"],
             where=[("lang", "==", "de")], check_layout=False)
                 .agg(F.sum(F.length("text"))).collect())
         timed10("decode_agg_pushdown", lambda: _dagg(enc10, use_stats=False).collect())
         timed10("decode_agg_stats", lambda: _dagg(enc10).collect())
+        # clustered topology at scale — the PRODUCTION pair (BASELINE.md
+        # scaling sessions: bucket-layout decode scales ~1.0 where the
+        # chunk-store decode leg bus-binds at 0.56-0.61): bucketed encode
+        # ships only compressed fragments; bucketed decode reads the
+        # bucket-partitioned layout with zero exchanges
+        timed10("encode_bucketed", lambda: encode_table_bucketed(wp10, key="url", n_buckets=64)
+                .repartition("bucket").write.partitionBy("bucket")
+                .mode("overwrite").parquet(f"{tmp}/wp10_enc_bkt"))
+        enc10b = spark.read.parquet(f"{tmp}/wp10_enc_bkt")
+        meta10b = column_meta(enc10b)
+        timed10("decode_bucketed", lambda: decode_table_colocated(
+            enc10b, meta=meta10b, check_layout=False)
+                .agg(F.sum(F.length("text"))).collect())
         t0 = time.perf_counter()
         wp10.write.mode("overwrite").parquet(f"{tmp}/wp10_native")
         nat_w10 = round(time.perf_counter() - t0, 3)
@@ -279,6 +310,38 @@ def main() -> None:
         log(f"sf10m block failed: {type(e).__name__}: {e}")
         sf10m = {"error": f"{type(e).__name__}: {e}"}
 
+    # --- scaling evidence (machine-readable; north rule's N -> 4N bar) ----
+    # `latest` is the most recent tools/scaling_bench.py session on this box
+    # (multi-minute two-level protocol — run per round, not per bench
+    # invocation); `sessions` are the per-round measured efficiencies
+    # recorded in BASELINE.md (interleaved best-of-2, local[2] vs local[8]
+    # = the same 4x core ratio; 32 threads sit above this box's shared
+    # memory-bus streaming ceiling and would measure the bus, not the
+    # engine).
+    scaling = {
+        "levels": "local[2] vs local[8] (4x, per BASELINE.md protocol)",
+        "sessions": [
+            {"session": "A (round 3)", "pages": 3_000_000,
+             "clustered": 0.869, "clustered_encode": 0.863, "clustered_decode": 0.886,
+             "per_split_encode": 0.92},
+            {"session": "B (round 4)", "pages": 3_000_000,
+             "clustered": 0.92, "per_split_encode": 0.86},
+            {"session": "C (round 4)", "pages": 3_000_000,
+             "clustered": 0.844, "clustered_encode": 0.811, "clustered_decode": 0.966,
+             "per_split_encode": 0.827, "hash_chunk": 0.703},
+            {"session": "D (round 4)", "pages": 3_000_000,
+             "clustered": 0.891, "clustered_encode": 0.861, "clustered_decode": 0.998,
+             "per_split_encode": 0.851, "hash_chunk": 0.696},
+        ],
+        "criterion": "clustered topology >= 0.8 in ALL recorded sessions",
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "scaling_results.json")) as f:
+            scaling["latest"] = json.load(f)
+    except Exception:
+        pass
+
     total_sec = round(sum(times.values()), 3)
     total_gb = sum(bytes_processed.values()) / 1e9
     result = {
@@ -293,6 +356,7 @@ def main() -> None:
         "web_pages_rows": n_pages,
         "native_parquet_baseline": native,
         "sf10m": sf10m,
+        "scaling": scaling,
     }
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()

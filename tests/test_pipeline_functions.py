@@ -541,3 +541,155 @@ def test_minhash_arrow_100k_selectivity(spark):
     frac = n_cand / (n_docs * (n_docs - 1) / 2)
     print(f"minhash 100k candidates: {int(n_cand)} pairs of C({n_docs},2) = {frac:.2e}")
     assert n_cand < 0.001 * n_docs * (n_docs - 1) / 2, n_cand
+
+
+def test_dedup_clusters_label_propagation(spark):
+    """dedup_clusters closes components transitively (a 6-vertex chain
+    needs multiple propagation rounds), picks the min-id canonical, and
+    reports exact cluster sizes; isolated pairs stay their own cluster."""
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.functions.dedup import dedup_clusters
+
+    # chain 10-11-12-13-14-15 (diameter 5), triangle 20-21-22, pair 30-31
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+             (20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+
+    assert {k: v["cluster_id"] for k, v in out.items()} == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20, 30: 30, 31: 30,
+    }
+    assert out[15]["cluster_size"] == 6
+    assert out[22]["cluster_size"] == 3
+    assert out[30]["cluster_size"] == 2
+    canon = {k for k, v in out.items() if v["is_canonical"]}
+    assert canon == {10, 20, 30}
+
+    # direction-independence: reversed edges give the same labeling
+    rev = spark.createDataFrame([(b, a) for a, b in edges], "id_a long, id_b long")
+    out2 = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(rev).collect()}
+    assert out2 == {k: v["cluster_id"] for k, v in out.items()}
+
+    # non-convergence guard: a chain longer than max_iter raises
+    import pytest as _pytest
+
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40, 48)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(long_chain, max_iter=2)
+
+
+def test_bmp_decode_handcrafted_exact():
+    """decode_bmp_gray against a hand-assembled 2x2 bottom-up 24-bit BMP
+    (row padding + BGR order + bottom-up flip all exercised) — expected
+    grays computed with plain python ints, independent of the decoder."""
+    import struct
+
+    from varint_simd_spark.functions.multimodal import decode_bmp_gray, resize_real
+
+    top = [(10, 20, 30), (40, 50, 60)]      # (B, G, R) left->right
+    bottom = [(70, 80, 90), (100, 110, 120)]
+    row_bytes = lambda row: b"".join(bytes(p) for p in row) + b"\x00\x00"  # stride 8
+    pixel_data = row_bytes(bottom) + row_bytes(top)  # bottom-up on disk
+    off = 54
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    raw = np.frombuffer(hdr + info + pixel_data, np.uint8)
+
+    gray = decode_bmp_gray(raw)
+    exp = [[(29 * b + 150 * g + 77 * r) >> 8 for (b, g, r) in row] for row in (top, bottom)]
+    assert gray.tolist() == exp
+
+    # top-down variant (negative height): same pixel data now stored
+    # top-first, so the decoder must NOT flip
+    info_td = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    raw_td = np.frombuffer(hdr + info_td + row_bytes(top) + row_bytes(bottom), np.uint8)
+    assert decode_bmp_gray(raw_td).tolist() == exp
+
+    # real nearest-neighbor resize: 2x2 -> 4x4 repeats each pixel 2x2
+    rz = resize_real(raw, 4, 4).reshape(4, 4)
+    assert rz.tolist() == [
+        [exp[0][0]] * 2 + [exp[0][1]] * 2,
+        [exp[0][0]] * 2 + [exp[0][1]] * 2,
+        [exp[1][0]] * 2 + [exp[1][1]] * 2,
+        [exp[1][0]] * 2 + [exp[1][1]] * 2,
+    ]
+
+    # non-BMP / truncated payloads -> None (stub tier takes over)
+    assert decode_bmp_gray(np.frombuffer(b"not a bmp at all" * 4, np.uint8)) is None
+    assert decode_bmp_gray(raw[:40]) is None
+
+
+def test_wav_decode_handcrafted_exact():
+    """decode_wav_pcm16 against a hand-assembled PCM-16 WAVE with an
+    odd-sized foreign chunk before data (word-alignment must be honored)."""
+    import struct
+
+    from varint_simd_spark.functions.multimodal import decode_wav_pcm16, wav_frames
+
+    samples = [-32768, -1, 0, 1, 32767, 123]
+    data = struct.pack("<6h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad byte
+    body += b"data" + struct.pack("<I", len(data)) + data
+    raw = np.frombuffer(b"RIFF" + struct.pack("<I", len(body)) + body, np.uint8)
+
+    out = decode_wav_pcm16(raw)
+    assert out is not None
+    got, n_ch, rate, ds = out
+    assert got.tolist() == samples and n_ch == 1 and rate == 8000
+    assert raw[ds : ds + 4].tobytes() == data[:4]
+
+    # non-PCM (ieee float fmt tag) and non-WAVE payloads -> None
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    bad = b"RIFF" + struct.pack("<I", 30) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + bad_fmt
+    assert decode_wav_pcm16(np.frombuffer(bad + b"data\x00\x00\x00\x00", np.uint8)) is None
+    assert decode_wav_pcm16(np.frombuffer(b"RIFFxxxxAVI " + b"\x00" * 40, np.uint8)) is None
+
+    # real frame windows: sample-aligned offsets inside the data chunk
+    frames = wav_frames(raw, 3)
+    assert [off for off, _ in frames] == [ds, ds + 2 * 2, ds + 4 * 2]
+    assert frames[1][1] == struct.pack("<2h", 0, 1)
+
+
+def test_media_generator_and_real_features_end_to_end(spark):
+    """generate_media -> extract_features: BMP rows carry the histogram of
+    the REAL decoded grayscale pixels (expected derived from the
+    generator's pixel formula, not the decoder), WAV rows the histogram of
+    real samples; format sniff tags bmp/riff/unknown correctly."""
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.functions.multimodal import FEATURE_DIM, binary_meta, extract_features
+    from varint_simd_spark.sources.media import generate_media, make_wav
+
+    md = generate_media(spark, 30, seed=42)
+    fmts = {r["media_id"]: r["format"] for r in binary_meta(md, "payload", "media_id").collect()}
+    for mid, fmt in fmts.items():
+        assert fmt == {0: "bmp", 1: "riff", 2: "unknown"}[mid % 3], (mid, fmt)
+
+    feats = {r["id"]: r for r in extract_features(md, "payload", "media_id").collect()}
+    # bmp: expected grayscale histogram straight from the pixel formula
+    mid, seed = 6, 42
+    w, h = 8 + mid % 9, 6 + mid % 5
+    y, x = np.mgrid[0:h, 0:w]
+    b, g, r = [((mid * 31 + x * 7 + y * 13 + c * 101 + seed) % 256) for c in range(3)]
+    gray = ((29 * b + 150 * g + 77 * r) >> 8).astype(np.int64)
+    exp = np.bincount(gray.ravel() >> 4, minlength=FEATURE_DIM).astype(np.float32)
+    exp /= exp.sum()
+    assert np.allclose(np.array(feats[mid]["features"]), exp, atol=1e-6)
+
+    # wav: expected histogram from the generator's sample formula
+    mid = 1
+    n_ch = 1 + (mid // 2) % 2
+    n = (256 + (mid % 7) * 64) * n_ch
+    t = np.arange(n, dtype=np.int64)
+    s = ((mid * 2654435761 + t * 40503 + 42 * 97) % 65536) - 32768
+    expw = np.bincount((s + 32768) >> 12, minlength=FEATURE_DIM).astype(np.float32)
+    expw /= expw.sum()
+    assert np.allclose(np.array(feats[mid]["features"]), expw, atol=1e-6)
+    assert len(make_wav(mid)) == feats[mid]["n_bytes"]

@@ -435,11 +435,105 @@ def test_decode_aggregate_stats_path_matches_decode_and_prunes_payload(spark, tm
 
     store = str(tmp_path / "aggstore")
     enc.write.partitionBy("chunk_id").parquet(store)
-    agg = decode_aggregate(spark.read.parquet(store))
-    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # the stats path's single metadata job must scan WITHOUT the payload
+    # column (footer-statistics aggregation); the job now also carries the
+    # per-column availability flag, so assert on that job's plan
+    from varint_simd_spark.operators.encode import _stats_aggregate
+
+    stats_job = _stats_aggregate(spark.read.parquet(store))
+    plan = stats_job._jdf.queryExecution().executedPlan().toString()
     rs = re.search(r"ReadSchema: .*", plan).group(0)
     assert "payload" not in rs, rs
+    agg = decode_aggregate(spark.read.parquet(store))
     assert [tuple(r) for r in agg.orderBy("column").collect()] == fast
+
+
+def test_decode_aggregate_grouped_stats_matches_decode_and_sql(spark, tmp_path):
+    """Grouped aggregate pushdown: per-chunk per-group partials written at
+    encode answer GROUP BY from metadata alone; the grouped stats path,
+    the grouped decode path, and a plain Spark groupBy must all agree —
+    including null groups, nullable value columns, and an
+    int64-overflowing sum domain (epoch micros)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators.encode import (
+        _grouped_stats_aggregate,
+        decode_aggregate,
+    )
+
+    wp = generate_web_pages(spark, 20_000, seed=7).select(
+        "url",
+        "warc_ts",
+        "text",
+        # null groups: every 7th page has no lang
+        F.when(F.xxhash64("url") % 7 != 0, F.col("lang")).alias("lang"),
+        # nullable value column
+        F.when(F.xxhash64("url") % 3 != 0, F.length("text")).alias("n_chars"),
+    )
+    enc = encode_table(wp, key="url", n_chunks=8, stats_group_by="lang")
+
+    cols = ["warc_ts", "text", "n_chars"]
+    fast = [tuple(r) for r in decode_aggregate(enc, columns=cols, group_by="lang").collect()]
+    slow = [tuple(r) for r in decode_aggregate(
+        enc, columns=cols, group_by="lang", use_stats=False).collect()]
+    assert fast == slow, (fast, slow)
+
+    exp = {
+        (r["lang"], "warc_ts"): r
+        for r in wp.groupBy("lang").agg(
+            F.count("*").alias("n"),
+            F.sum(F.unix_micros("warc_ts").cast("decimal(38,0)")).alias("s"),
+        ).collect()
+    }
+    got = {(r[0], r[1]): r for r in fast}
+    assert set(g for g, _ in got) == set(g for g, _ in exp)
+    for (g, _), e in exp.items():
+        r = got[(g, "warc_ts")]
+        assert r[2] == e["n"] and r[4] == str(e["s"]), (g, tuple(r), dict(e.asDict()))
+    # string column: per-group byte totals
+    exp_b = {r["lang"]: r for r in wp.groupBy("lang").agg(
+        F.sum(F.octet_length("text")).alias("b"), F.count("*").alias("n")).collect()}
+    for g, e in exp_b.items():
+        r = got[(g, "text")]
+        assert r[5] == e["b"] and r[2] == e["n"]
+    # nullable ints: per-group null counts + sums
+    exp_n = {r["lang"]: r for r in wp.groupBy("lang").agg(
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars").isNull().cast("long")).alias("nn")).collect()}
+    for g, e in exp_n.items():
+        r = got[(g, "n_chars")]
+        assert r[3] == e["nn"] and r[4] == str(e["s"])
+
+    # the grouped metadata job must never read the payload column
+    store = str(tmp_path / "gaggstore")
+    enc.write.partitionBy("chunk_id").parquet(store)
+    job = _grouped_stats_aggregate(spark.read.parquet(store), "lang")
+    plan = job._jdf.queryExecution().executedPlan().toString()
+    rs = re.search(r"ReadSchema: .*", plan).group(0)
+    assert "payload" not in rs, rs
+
+
+def test_decode_aggregate_grouped_falls_back_without_stats(spark):
+    """A store encoded WITHOUT stats_group_by still answers grouped
+    aggregates (decode-path fallback, flagged by the same metadata job)."""
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators.encode import decode_aggregate
+
+    wp = generate_web_pages(spark, 5_000, seed=11)
+    enc = encode_table(wp, key="url", n_chunks=4)  # no grouped stats
+    got = {
+        (r["group"], r["column"]): r
+        for r in decode_aggregate(enc, columns=["text"], group_by="lang").collect()
+    }
+    exp = {r["lang"]: r for r in wp.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum(F.octet_length("text")).alias("b")).collect()}
+    assert set(g for g, _ in got) == set(exp)
+    for g, e in exp.items():
+        r = got[(g, "text")]
+        assert r["n_rows"] == e["n"] and r["sum_bytes"] == e["b"]
 
 
 def test_verify_roundtrip_detects_mismatch(spark):

@@ -102,8 +102,14 @@ def main() -> None:
         q_simhash_near_dups,
     )
 
+    from varint_simd_spark.driver_queries_pipeline import _cluster_seed_pairs
+
     mh = [(r["id_a"], r["id_b"], r["est_jaccard"])
           for r in q_minhash_lsh_dups(spark, SF_DIR).orderBy("id_a", "id_b").collect()]
+    # seeded LSH pair set feeding the dedup_clusters query — the cluster
+    # oracle derives components from these edges via a recursive CTE
+    dcp = [(r["id_a"], r["id_b"])
+           for r in _cluster_seed_pairs(spark, SF_DIR).orderBy("id_a", "id_b").collect()]
     mha = [(r["id_a"], r["id_b"], r["est_jaccard"])
            for r in q_minhash_lsh_dups_arrow(spark, SF_DIR).orderBy("id_a", "id_b").collect()]
     sn = [(r["id_a"], r["id_b"], r["hamming"])
@@ -124,6 +130,7 @@ def main() -> None:
         ("SIMHASH_DOCS_SF001_SQL", sh, "doc_id, simhash", DOCS),
         ("DOC_FP_SF001_SQL", fp, "doc_id, fingerprint", DOCS),
         ("MINHASH_PAIRS_SF001_SQL", mh, "id_a, id_b, est_jaccard", DOCS),
+        ("DEDUP_PAIRS_SF001_SQL", dcp, "id_a, id_b", DOCS),
         ("MINHASH_PAIRS_ARROW_SF001_SQL", mha, "id_a, id_b, est_jaccard", DOCS),
         ("SIMHASH_PAIRS_SF001_SQL", sn, "id_a, id_b, hamming", DOCS),
         ("ANN_TOPK_SF001_SQL", ann, "vec_id, cos", EMB),

@@ -198,6 +198,19 @@ def main() -> None:
         "scaling_efficiency_clustered_config": round(eff_clustered, 3),
     }
     print(json.dumps(summary))
+    # persist for bench.py's machine-readable `scaling` block (BENCH json):
+    # the driver-run bench embeds the latest measured session without
+    # re-running the (multi-minute) two-level protocol per bench invocation
+    import time as _time
+
+    summary_out = {
+        "levels": levels,
+        "protocol": "interleaved best-of-%d per level, fresh subprocess per level" % rounds,
+        "measured_at": _time.strftime("%Y-%m-%d %H:%M:%S"),
+        **summary,
+    }
+    with open(os.path.join(REPO, "scaling_results.json"), "w") as f:
+        json.dump(summary_out, f, indent=1)
 
     if "--update-baseline" in sys.argv:
         md = (

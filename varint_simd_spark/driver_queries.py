@@ -356,6 +356,39 @@ def q_decode_aggregate_documents(spark, sf_dir):
     return decode_aggregate(enc, columns=["doc_id", "n_chars", "text"])
 
 
+def q_decode_aggregate_by_lang_documents(spark, sf_dir):
+    """GROUPED aggregate pushdown: the table is encoded with
+    ``stats_group_by="lang"`` so every chunk row carries exact per-group
+    partials in its stats JSON — ``decode_aggregate(group_by="lang")``
+    answers the training-pipeline staple "rows/nulls/sum by lang" as ONE
+    native JVM job over metadata (payload pruned from the scan,
+    O(chunks x groups) at any data size)."""
+    from .operators.encode import decode_aggregate
+
+    df = _read(spark, sf_dir, "documents")
+    enc = encode_table(df, key="doc_id", n_chunks=8, stats_group_by="lang")
+    return decode_aggregate(
+        enc, columns=["doc_id", "n_chars", "text"], group_by="lang"
+    )
+
+
+def q_filtered_in_between_documents(spark, sf_dir):
+    """Filter pushdown on the SHUFFLED decode path with the ``in`` /
+    ``between`` predicate forms: ``decode_table(where=...)`` (groupBy on
+    chunk_id, no store layout assumed) normalizes ``between`` into two
+    range conditions (both zone-map-prunable) and evaluates ``in`` via a
+    vectorized set-membership inside the decode UDF.  ``lang`` is a
+    predicate-only column: decoded for the mask, dropped from the
+    output.  Oracle = the plain SQL WHERE ... IN / BETWEEN."""
+    df = _read(spark, sf_dir, "documents")
+    enc = encode_table(df, key="doc_id", n_chunks=8)
+    return decode_table(
+        enc,
+        columns=["doc_id", "n_chars", "source"],
+        where=[("lang", "in", ["en", "de"]), ("n_chars", "between", (300, 900))],
+    ).drop("__chunk")
+
+
 def q_store_roundtrip_colocated(spark, sf_dir):
     """The production read path end to end: encode -> EncodedStore.commit
     (chunk-partitioned parquet + manifest lineage) -> manifest-gated
@@ -540,7 +573,9 @@ QUERIES = {
     "streaming_encode_documents": q_streaming_encode_documents,
     "zone_map_prune_events": q_zone_map_prune_events,
     "decode_aggregate_documents": q_decode_aggregate_documents,
+    "decode_aggregate_by_lang_documents": q_decode_aggregate_by_lang_documents,
     "filtered_decode_documents": q_filtered_decode_documents,
+    "filtered_in_between_documents": q_filtered_in_between_documents,
     "verify_roundtrip_documents": q_verify_roundtrip_documents,
     # compression_metrics (raw chunk_metrics rows) was retired in round 4:
     # superseded by the oracle-checked compression_bound_lineitem — its raw
@@ -615,6 +650,24 @@ ORACLES = {
     "filtered_decode_documents": (
         "SELECT doc_id, n_chars, source FROM documents "
         "WHERE n_chars >= 400 AND lang = 'en'"
+    ),
+    "filtered_in_between_documents": (
+        "SELECT doc_id, n_chars, source FROM documents "
+        "WHERE lang IN ('en', 'de') AND n_chars BETWEEN 300 AND 900"
+    ),
+    "decode_aggregate_by_lang_documents": (
+        "SELECT * FROM ("
+        "SELECT lang AS \"group\", 'doc_id' AS \"column\", COUNT(*)::BIGINT AS n_rows, "
+        "(COUNT(*) - COUNT(doc_id))::BIGINT AS n_nulls, "
+        "CAST(SUM(doc_id) AS VARCHAR) AS sum_exact, "
+        "NULL::BIGINT AS sum_bytes FROM documents GROUP BY lang "
+        "UNION ALL "
+        "SELECT lang, 'n_chars', COUNT(*)::BIGINT, (COUNT(*) - COUNT(n_chars))::BIGINT, "
+        "CAST(SUM(n_chars) AS VARCHAR), NULL::BIGINT FROM documents GROUP BY lang "
+        "UNION ALL "
+        "SELECT lang, 'text', COUNT(*)::BIGINT, (COUNT(*) - COUNT(text))::BIGINT, "
+        "NULL::VARCHAR, SUM(strlen(text))::BIGINT FROM documents GROUP BY lang"
+        ") ORDER BY \"group\", \"column\""
     ),
     "decode_aggregate_documents": (
         "SELECT * FROM ("

@@ -208,6 +208,80 @@ def ngram_jaccard_allpairs(docs: DataFrame, id_col: str, text_col: str, k: int =
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-dup PAIRS -> dup CLUSTERS: connected components over the pair
+    graph via iterative min-label propagation, plus canonical-document
+    selection — the step every real dedup pipeline needs after LSH (keep
+    one doc per cluster, drop the rest).
+
+    ``pairs``: (id_a, id_b) near-duplicate edges (e.g. from
+    :func:`minhash_lsh_pairs`).  Returns one row per vertex:
+    (doc_id, cluster_id, cluster_size, is_canonical) where ``cluster_id``
+    is the component's minimum doc id and the canonical doc is its holder.
+
+    Algorithm (100 TB-safe): labels start as each vertex's own id; each
+    round propagates labels across edges with ONE equi-join + min-groupBy
+    (both shuffle on the id key — no driver-side graph, no cross
+    products), converging in O(component diameter) rounds — near-dup
+    clusters are shallow (a hub document connects its variants), so this
+    is 2-4 rounds in practice.  ``localCheckpoint`` truncates the
+    iterative lineage each round (on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+    fault-tolerant truncation).  Raises after ``max_iter`` rounds rather
+    than returning a half-converged labeling."""
+    e = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    edges = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionAll(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        improved = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "__old"), "id"
+            )
+            .filter(F.col("label") < F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if improved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("label")).alias("is_canonical"),
+        )
+    )
+
+
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: 4x16-bit block LSH (two fingerprints within
     hamming distance d<=3 share at least one of 4 blocks exactly), then

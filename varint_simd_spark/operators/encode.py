@@ -143,8 +143,8 @@ def _exact_int_sum(v: pa.Array, lo: int, hi: int) -> int:
     return int(vv.astype(object).sum()) if vv.size else 0
 
 
-def _zone_map(arr: pa.Array, tag: str) -> str | None:
-    """Per-chunk statistics JSON.  min/max (the zone map, int64/double
+def _zone_map_dict(arr: pa.Array, tag: str) -> dict:
+    """Per-chunk statistics.  min/max (the zone map, int64/double
     domain — exact Spark-side comparisons) for integer-family columns;
     plus an exact integer ``sum`` (string — arbitrary precision) and
     ``n_nulls`` so aggregates can be answered from metadata alone
@@ -154,12 +154,12 @@ def _zone_map(arr: pa.Array, tag: str) -> str | None:
     skips nothing, aggregation falls back to payload decode."""
     st: dict = {"n_nulls": int(arr.null_count)}
     if tag in STR_TAGS:
-        return json.dumps(st)
+        return st
     if arr.null_count == len(arr):
         if tag != "f64":
             st["sum"] = "0"  # SQL SUM over only-nulls is NULL, but the
             # decode path reports "0" for empty domains — keep them equal
-        return json.dumps(st)
+        return st
     mm = pc.min_max(arr)
     lo, hi = mm["min"], mm["max"]
     if tag == "ts_us":
@@ -177,12 +177,100 @@ def _zone_map(arr: pa.Array, tag: str) -> str | None:
 
             # NaN/inf are not valid strict JSON and poison ordering
             if not (math.isfinite(lo) and math.isfinite(hi)):
-                return json.dumps(st)
+                return st
     st["min"], st["max"] = lo, hi
     if tag != "f64":
         v = _to_int64_keep_nulls(arr, tag)
         st["sum"] = str(_exact_int_sum(v, lo, hi))
-    return json.dumps(st)
+    return st
+
+
+def _zone_map(arr: pa.Array, tag: str) -> str:
+    return json.dumps(_zone_map_dict(arr, tag))
+
+
+# per-chunk grouped statistics are written only for group columns with at
+# most this many distinct values in the chunk — beyond it the stats JSON
+# would stop being "metadata" (grouped aggregation falls back to the
+# decode path, which handles any cardinality)
+MAX_STAT_GROUPS = 64
+
+# JSON map keys cannot be null, so null group values get this sentinel key
+# (converted back to a real SQL NULL group by decode_aggregate)
+NULL_GROUP_KEY = "\u0000"
+
+
+def _group_codes(garr: pa.Array, max_groups: int | None = MAX_STAT_GROUPS):
+    """Factorize a group column into (codes int64 ndarray, keys list[str]).
+    Nulls map to the NULL_GROUP_KEY sentinel.  Returns None when the chunk
+    exceeds ``max_groups`` distinct groups (caller omits grouped stats)."""
+    d = garr.dictionary_encode()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    keys = [k if isinstance(k, str) else str(k) for k in d.dictionary.to_pylist()]
+    idx = d.indices
+    if idx.null_count:
+        codes = idx.fill_null(len(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = keys + [NULL_GROUP_KEY]
+    else:
+        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    if max_groups is not None and len(keys) > max_groups:
+        return None
+    return codes, keys
+
+
+def _group_partials(arr: pa.Array, tag: str, codes: np.ndarray, n_groups: int) -> list[dict | None]:
+    """Per-group exact partials of one column: entry g is
+    ``{"n", "nn"[, "sum"][, "bytes"]}`` (None for groups absent from the
+    chunk).  ``sum`` is the exact integer sum (arbitrary precision, same
+    shift-by-min guard as :func:`_exact_int_sum`); ``bytes`` is total
+    utf8/binary bytes for string columns; f64 carries n/nn only (float
+    addition is order-dependent)."""
+    n_g = np.bincount(codes, minlength=n_groups)
+    if arr.null_count:
+        nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        nn_g = np.bincount(codes[nulls], minlength=n_groups)
+    else:
+        nn_g = np.zeros(n_groups, np.int64)
+
+    def base(g):
+        return {"n": int(n_g[g]), "nn": int(nn_g[g])}
+
+    if tag in STR_TAGS:
+        a = pc.fill_null(arr, "" if tag == "str" else b"")
+        lens = pc.binary_length(a).to_numpy(zero_copy_only=False).astype(np.int64)
+        acc = np.zeros(n_groups, np.int64)
+        np.add.at(acc, codes, lens)
+        return [
+            {**base(g), "bytes": int(acc[g])} if n_g[g] else None
+            for g in range(n_groups)
+        ]
+    if tag == "f64":
+        return [base(g) if n_g[g] else None for g in range(n_groups)]
+    v = _to_int64_keep_nulls(arr, tag)
+    if arr.null_count == len(arr):
+        return [
+            {**base(g), "sum": "0"} if n_g[g] else None for g in range(n_groups)
+        ]
+    mm = pc.min_max(v)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    filled = pc.fill_null(v, pa.scalar(lo, pa.int64())).to_numpy(zero_copy_only=False)
+    nz = n_g - nn_g
+    if (hi - lo) * max(len(filled), 1) < (1 << 62):
+        # nulls were filled with lo, so their shifted contribution is 0 and
+        # sum_g = acc_g + lo * n_nonnull_g restores the unshifted domain
+        # with Python-int arithmetic (no int64 wrap for epoch-micros etc.)
+        acc = np.zeros(n_groups, np.int64)
+        np.add.at(acc, codes, filled - lo)
+        sums = [int(acc[g]) + lo * int(nz[g]) for g in range(n_groups)]
+    else:
+        acc = np.zeros(n_groups, object)
+        np.add.at(acc, codes, filled.astype(object))
+        sums = [int(acc[g]) - lo * int(nn_g[g]) for g in range(n_groups)]
+    return [
+        {**base(g), "sum": str(sums[g])} if n_g[g] else None
+        for g in range(n_groups)
+    ]
 
 
 def _encode_columns_to_rows(
@@ -191,6 +279,7 @@ def _encode_columns_to_rows(
     codecs: dict[str, str],
     chunk_id: int,
     shared_cache: dict | None = None,
+    stats_group_by: str | None = None,
 ) -> pa.Table:
     """Encode ``columns`` of one (already chunk-assigned, already sorted)
     Arrow table into encoded-chunk rows — the single implementation of the
@@ -198,8 +287,18 @@ def _encode_columns_to_rows(
 
     ``shared_cache``: per-column codec artifacts reused across MANY calls
     (e.g. one FSST table per (scan partition, column) in the bucketed
-    topology — per-fragment training would otherwise dominate)."""
+    topology — per-fragment training would otherwise dominate).
+
+    ``stats_group_by``: declared low-cardinality group column — every
+    encoded row additionally carries exact per-group partials
+    (``stats.by = {col, groups: {g: {n, nn, sum|bytes}}}``) so
+    :func:`decode_aggregate` can answer GROUP BY queries from metadata
+    alone.  Omitted when a chunk exceeds MAX_STAT_GROUPS distinct groups
+    (the grouped decode path remains the sound fallback)."""
     cols: dict[str, list] = {k.name: [] for k in _ENC_ARROW}
+    grp = None
+    if stats_group_by is not None:
+        grp = _group_codes(table[stats_group_by].combine_chunks())
     for idx, col in enumerate(columns):
         arr = table[col].combine_chunks()
         want = codecs.get(col, "auto")
@@ -211,6 +310,14 @@ def _encode_columns_to_rows(
             codec, reason = want, "forced"
         tag, payload, params = encode_column_arrow(arr, codec, cache=cache or None)
         ref_b, raw_b = _ref_and_raw_bytes(arr, tag)
+        st = _zone_map_dict(arr, tag)
+        if grp is not None:
+            codes, keys = grp
+            parts = _group_partials(arr, tag, codes, len(keys))
+            st["by"] = {
+                "col": stats_group_by,
+                "groups": {k: p for k, p in zip(keys, parts) if p is not None},
+            }
         cols["chunk_id"].append(chunk_id)
         cols["col_idx"].append(idx)
         cols["column"].append(col)
@@ -224,20 +331,36 @@ def _encode_columns_to_rows(
         cols["enc_bytes"].append(len(payload))
         cols["crc32"].append(zlib.crc32(payload))
         cols["reason"].append(reason)
-        cols["stats"].append(_zone_map(arr, tag))
+        cols["stats"].append(json.dumps(st))
     return pa.table(cols, schema=_ENC_ARROW)
 
 
-def make_encode_chunk_fn(columns: list[str], codecs: dict[str, str], sort_key: str | None):
+def make_encode_chunk_fn(
+    columns: list[str],
+    codecs: dict[str, str],
+    sort_key: str | None,
+    stats_group_by: str | None = None,
+):
     """Build the applyInArrow chunk encoder (closure shipped to executors)."""
 
     def encode_chunk(table: pa.Table) -> pa.Table:
         chunk_id = int(table["__chunk"][0].as_py())
         if sort_key is not None:
             table = table.take(pc.sort_indices(table[sort_key]))
-        return _encode_columns_to_rows(table, columns, codecs, chunk_id)
+        return _encode_columns_to_rows(
+            table, columns, codecs, chunk_id, stats_group_by=stats_group_by
+        )
 
     return encode_chunk
+
+
+def _check_stats_group_by(stats_group_by: str | None, columns: list[str]) -> None:
+    if stats_group_by is not None and stats_group_by not in columns:
+        raise ValueError(
+            f"stats_group_by column {stats_group_by!r} must be one of the "
+            f"encoded columns (grouped aggregation needs it decodable for "
+            f"the fallback path)"
+        )
 
 
 def encode_table(
@@ -247,6 +370,7 @@ def encode_table(
     codecs: dict[str, str] | None = None,
     n_chunks: int = 32,
     sort_within_chunk: bool = True,
+    stats_group_by: str | None = None,
 ) -> DataFrame:
     """Encode ``df`` into the encoded-chunk DataFrame (FIXTURES.md §4).
 
@@ -255,14 +379,20 @@ def encode_table(
     ``codecs``: per-column codec name or "auto" (default: auto for all).
     ``sort_within_chunk``: sort chunk rows by ``key`` before encoding —
     deterministic value order (resume/verify) and better run/delta locality.
+    ``stats_group_by``: declared low-cardinality group column whose exact
+    per-chunk per-group partials ride the stats JSON — enables
+    ``decode_aggregate(group_by=...)`` to run O(chunks) from metadata.
     """
     columns = columns or df.columns
     codecs = codecs or {}
     unknown = set(codecs) - set(columns)
     if unknown:
         raise ValueError(f"codecs for unknown columns: {sorted(unknown)}")
+    _check_stats_group_by(stats_group_by, columns)
     chunk = F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)).alias("__chunk")
-    fn = make_encode_chunk_fn(columns, codecs, key if sort_within_chunk else None)
+    fn = make_encode_chunk_fn(
+        columns, codecs, key if sort_within_chunk else None, stats_group_by
+    )
     # the sort key must ride along even when not an encoded column, else the
     # chunk sort would KeyError at executor time; it is never encoded (the
     # encode loop iterates `columns` only)
@@ -280,6 +410,7 @@ def encode_table_per_split(
     columns: list[str] | None = None,
     codecs: dict[str, str] | None = None,
     target_chunk_bytes: int = 32 << 20,
+    stats_group_by: str | None = None,
 ) -> DataFrame:
     """SHUFFLE-FREE ingest encode: each scan partition's Arrow batches are
     packed into ~``target_chunk_bytes`` chunks and encoded in place — zero
@@ -310,6 +441,7 @@ def encode_table_per_split(
     unknown = set(codecs) - set(columns)
     if unknown:
         raise ValueError(f"codecs for unknown columns: {sorted(unknown)}")
+    _check_stats_group_by(stats_group_by, columns)
     select_cols = list(columns) + ([key] if key not in columns else [])
 
     def fn(batches):
@@ -331,7 +463,9 @@ def encode_table_per_split(
             )
             ordinal += 1
             chunk_id = int.from_bytes(h.digest(), "big") >> 1  # 63-bit, non-negative
-            return _encode_columns_to_rows(table, columns, codecs, chunk_id).to_batches()
+            return _encode_columns_to_rows(
+                table, columns, codecs, chunk_id, stats_group_by=stats_group_by
+            ).to_batches()
 
         for batch in batches:
             buf.append(batch)
@@ -353,6 +487,7 @@ def encode_table_bucketed(
     columns: list[str] | None = None,
     codecs: dict[str, str] | None = None,
     n_buckets: int = 32,
+    stats_group_by: str | None = None,
 ) -> DataFrame:
     """Hash-clustered encode that shuffles COMPRESSED bytes, not raw rows.
 
@@ -388,6 +523,7 @@ def encode_table_bucketed(
     unknown = set(codecs) - set(columns)
     if unknown:
         raise ValueError(f"codecs for unknown columns: {sorted(unknown)}")
+    _check_stats_group_by(stats_group_by, columns)
     select_cols = list(columns) + ([key] if key not in columns else [])
     bucket_col = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).alias("__bucket")
 
@@ -441,7 +577,10 @@ def encode_table_bucketed(
                 digest_size=8,
             )
             chunk_id = int.from_bytes(h.digest(), "big") >> 1
-            enc = _encode_columns_to_rows(frag, columns, codecs, chunk_id, shared_cache=shared)
+            enc = _encode_columns_to_rows(
+                frag, columns, codecs, chunk_id,
+                shared_cache=shared, stats_group_by=stats_group_by,
+            )
             enc = enc.append_column("bucket", pa.array(np.full(enc.num_rows, bucket, np.int64)))
             yield from enc.to_batches()
 
@@ -881,84 +1020,107 @@ _AGG_SCHEMA = T.StructType(
     ]
 )
 
+_GAGG_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_nulls", T.LongType()),
+        T.StructField("sum_exact", T.StringType()),
+        T.StructField("sum_bytes", T.LongType()),
+    ]
+)
 
-def decode_aggregate(
-    enc: DataFrame, columns: list[str] | None = None, use_stats: bool = True
-) -> DataFrame:
-    """Aggregate pushdown through the codec layer.
 
-    Fast path (``use_stats``): every chunk row carries exact per-chunk
-    statistics written at encode time (n_nulls; exact integer sum as an
-    arbitrary-precision string; byte totals via raw_bytes), so the whole
-    aggregate is ONE native JVM job over the metadata columns — the
-    payload column is pruned from the parquet scan and no codec runs at
-    all.  This is the footer-statistics pattern: at 100 TB the aggregate
-    costs O(chunk count), not O(data).  A cheap metadata pre-check drops
-    to the decode path when any selected row lacks the stats (stores
-    written by older builds).
-
-    Decode path: per-(chunk, column) partials are computed INSIDE the
-    decode UDF, so no decoded rows ever cross the Python->JVM boundary —
-    the UDF output is one tiny row per encoded chunk row.
-
-    Returns one row per column: ``n_rows`` (incl. nulls), ``n_nulls``,
-    ``sum_exact`` (exact integer sum as a string — int64/bool/ts-micros/
-    date-days domains; arbitrary-precision, no double drift; null for
-    float/string), ``sum_bytes`` (total utf8/binary bytes, strings only).
-
-    Needs no chunk colocation: every encoded row decodes independently."""
-    if columns is not None:
-        enc = enc.filter(F.col("column").isin(list(columns)))
-
-    if use_stats:
-        meta_cols = enc.select("column", "dtype", "n_values", "raw_bytes", "stats")
-        nn = F.get_json_object("stats", "$.n_nulls")
-        sm = F.get_json_object("stats", "$.sum")
-        needs_sum = ~F.col("dtype").isin("str", "bin", "f64")
-        missing = meta_cols.filter(
-            nn.isNull() | (needs_sum & sm.isNull())
-        ).limit(1).count()
-        if missing == 0:
-            return (
-                meta_cols.groupBy("column")
-                .agg(
-                    F.sum("n_values").alias("n_rows"),
-                    F.sum(nn.cast("long")).alias("n_nulls"),
-                    F.when(
-                        F.max("dtype").isin("str", "bin", "f64"), F.lit(None)
-                    )
-                    .otherwise(
-                        F.sum(sm.cast("decimal(38,0)")).cast("string")
-                    )
-                    .alias("sum_exact"),
-                    # guard the INPUT, not just the output: f64 stats hold
-                    # fractional min/max and an unconditional ANSI cast to
-                    # long would error even under a when() on the result
-                    F.min(
-                        F.when(
-                            ~F.col("dtype").isin("str", "bin", "f64"),
-                            F.get_json_object("stats", "$.min"),
-                        ).cast("long")
-                    )
-                    .cast("string")
-                    .alias("min_exact"),
-                    F.max(
-                        F.when(
-                            ~F.col("dtype").isin("str", "bin", "f64"),
-                            F.get_json_object("stats", "$.max"),
-                        ).cast("long")
-                    )
-                    .cast("string")
-                    .alias("max_exact"),
-                    F.when(
-                        F.max("dtype").isin("str", "bin"), F.sum("raw_bytes")
-                    ).alias("sum_bytes"),
-                )
-                .select(
-                    "column", "n_rows", "n_nulls", "sum_exact",
-                    "min_exact", "max_exact", "sum_bytes",
-                )
+def _stats_aggregate(enc: DataFrame) -> DataFrame:
+    """The single metadata job of the stats fast path: per-column exact
+    aggregates from the per-chunk stats JSON, plus a ``__ok`` flag (1 iff
+    EVERY chunk row of the column carries the stats the dtype needs) so
+    the caller can fall back per column without a separate pre-check scan.
+    The payload column never appears — Catalyst prunes it from the
+    encoded-store parquet scan."""
+    meta_cols = enc.select("column", "dtype", "n_values", "raw_bytes", "stats")
+    nn = F.get_json_object("stats", "$.n_nulls")
+    sm = F.get_json_object("stats", "$.sum")
+    needs_sum = ~F.col("dtype").isin("str", "bin", "f64")
+    ok = (nn.isNotNull() & (~needs_sum | sm.isNotNull())).cast("int")
+    return (
+        meta_cols.groupBy("column")
+        .agg(
+            F.sum("n_values").alias("n_rows"),
+            F.sum(nn.cast("long")).alias("n_nulls"),
+            F.when(
+                F.max("dtype").isin("str", "bin", "f64"), F.lit(None)
             )
+            .otherwise(
+                F.sum(sm.cast("decimal(38,0)")).cast("string")
+            )
+            .alias("sum_exact"),
+            # guard the INPUT, not just the output: f64 stats hold
+            # fractional min/max and an unconditional ANSI cast to
+            # long would error even under a when() on the result
+            F.min(
+                F.when(
+                    ~F.col("dtype").isin("str", "bin", "f64"),
+                    F.get_json_object("stats", "$.min"),
+                ).cast("long")
+            )
+            .cast("string")
+            .alias("min_exact"),
+            F.max(
+                F.when(
+                    ~F.col("dtype").isin("str", "bin", "f64"),
+                    F.get_json_object("stats", "$.max"),
+                ).cast("long")
+            )
+            .cast("string")
+            .alias("max_exact"),
+            F.when(
+                F.max("dtype").isin("str", "bin"), F.sum("raw_bytes")
+            ).alias("sum_bytes"),
+            F.min(ok).alias("__ok"),
+        )
+        .select(
+            "column", "n_rows", "n_nulls", "sum_exact",
+            "min_exact", "max_exact", "sum_bytes", "__ok",
+        )
+    )
+
+
+# Spark-side schema of the per-chunk grouped partials written at encode
+# time (stats.by) — from_json returns null for rows lacking them
+_BY_JSON_SCHEMA = (
+    "col STRING, groups MAP<STRING, "
+    "STRUCT<n: BIGINT, nn: BIGINT, sum: STRING, bytes: BIGINT>>"
+)
+
+
+def _grouped_stats_aggregate(enc: DataFrame, group_by: str) -> DataFrame:
+    """The single metadata job of the GROUPED stats fast path: explode the
+    per-chunk per-group partials and combine them per (column, group).
+    ``__ok`` is 1 iff every chunk row of the column carries grouped stats
+    declared for this ``group_by`` column (explode_outer keeps rows
+    without them, flagged 0, so the flag rides the same job)."""
+    by = F.from_json(F.get_json_object("stats", "$.by"), _BY_JSON_SCHEMA)
+    ok = (by.isNotNull() & (by["col"] == F.lit(group_by))).cast("int")
+    ex = enc.select(
+        "column",
+        ok.alias("__ok"),
+        F.explode_outer(by["groups"]).alias("__g", "__gv"),
+    )
+    return ex.groupBy("column", "__g").agg(
+        F.sum("__gv.n").alias("n_rows"),
+        F.sum("__gv.nn").alias("n_nulls"),
+        F.sum(F.col("__gv.sum").cast("decimal(38,0)")).cast("string").alias("sum_exact"),
+        F.sum("__gv.bytes").alias("sum_bytes"),
+        F.min("__ok").alias("__ok"),
+    )
+
+
+def _agg_decode_path(enc: DataFrame) -> DataFrame:
+    """Decode-path aggregation: per-(chunk, column) partials are computed
+    INSIDE the decode UDF, so no decoded rows ever cross the Python->JVM
+    boundary — the UDF output is one tiny row per encoded chunk row."""
 
     def fn(batches):
         for batch in batches:
@@ -1030,18 +1192,182 @@ def decode_aggregate(
             )
 
     partials = enc.mapInArrow(fn, schema=_AGG_SCHEMA)
-    return (
-        partials.groupBy("column")
-        .agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("n_nulls").alias("n_nulls"),
-            F.sum(F.col("sum_exact").cast("decimal(38,0)")).cast("string").alias("sum_exact"),
-            F.min(F.col("min_exact").cast("long")).cast("string").alias("min_exact"),
-            F.max(F.col("max_exact").cast("long")).cast("string").alias("max_exact"),
-            F.sum("sum_bytes").alias("sum_bytes"),
-        )
-        .orderBy("column")
+    return partials.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.sum(F.col("sum_exact").cast("decimal(38,0)")).cast("string").alias("sum_exact"),
+        F.min(F.col("min_exact").cast("long")).cast("string").alias("min_exact"),
+        F.max(F.col("max_exact").cast("long")).cast("string").alias("max_exact"),
+        F.sum("sum_bytes").alias("sum_bytes"),
     )
+
+
+def _agg_decode_path_grouped(
+    enc: DataFrame, group_by: str, out_columns: list[str]
+) -> DataFrame:
+    """Grouped decode-path aggregation: one applyInArrow per chunk decodes
+    the group column plus the selected columns and emits exact per-group
+    partials (same arbitrary-precision sum guard as the encode-side
+    stats), combined by one native groupBy.  Handles any group
+    cardinality — it is both the ``use_stats=False`` path and the
+    fallback for chunks whose grouped stats are absent."""
+    sub = enc.filter(F.col("column").isin(sorted(set(out_columns) | {group_by})))
+
+    def agg_chunk(table: pa.Table) -> pa.Table:
+        n = int(table["n_values"][0].as_py())
+        dt = {
+            table["column"][i].as_py(): table["dtype"][i].as_py()
+            for i in range(table.num_rows)
+        }
+        if group_by not in dt:
+            raise ValueError(
+                f"group column {group_by!r} is not in the encoded table "
+                f"(chunk {int(table['chunk_id'][0].as_py())})"
+            )
+        by_col = {}
+        for name, codec, payload, params, crc, cid, _nv in _iter_enc_rows(table):
+            if crc is not None and zlib.crc32(payload) != crc:
+                raise IOError(
+                    f"payload corruption: chunk {cid} column {name!r} crc mismatch"
+                )
+            by_col[name] = (codec, payload, json.loads(params))
+        gcodec, gpayload, gparams = by_col[group_by]
+        garr = decode_column_arrow(dt[group_by], gcodec, gpayload, gparams, n)
+        codes, keys = _group_codes(garr, max_groups=None)
+        out = {k.name: [] for k in _GAGG_SCHEMA.fields}
+        for col in out_columns:
+            if col not in by_col:
+                continue  # pruned upstream
+            arr = (
+                garr
+                if col == group_by
+                else decode_column_arrow(dt[col], *by_col[col][:2], by_col[col][2], n)
+            )
+            for key, p in zip(keys, _group_partials(arr, dt[col], codes, len(keys))):
+                if p is None:
+                    continue
+                out["group"].append(key)
+                out["column"].append(col)
+                out["n_rows"].append(p["n"])
+                out["n_nulls"].append(p["nn"])
+                out["sum_exact"].append(p.get("sum"))
+                out["sum_bytes"].append(p.get("bytes"))
+        return pa.table(
+            {
+                "group": pa.array(out["group"], pa.string()),
+                "column": pa.array(out["column"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+                "sum_exact": pa.array(out["sum_exact"], pa.string()),
+                "sum_bytes": pa.array(out["sum_bytes"], pa.int64()),
+            }
+        )
+
+    partials = sub.groupBy("chunk_id").applyInArrow(agg_chunk, schema=_GAGG_SCHEMA)
+    return partials.groupBy("group", "column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.sum(F.col("sum_exact").cast("decimal(38,0)")).cast("string").alias("sum_exact"),
+        F.sum("sum_bytes").alias("sum_bytes"),
+    )
+
+
+def _degroup_null_key(df: DataFrame) -> DataFrame:
+    """Convert the JSON null-group sentinel back to a real SQL NULL."""
+    return df.withColumn(
+        "group",
+        F.when(F.col("group") == F.lit(NULL_GROUP_KEY), F.lit(None)).otherwise(
+            F.col("group")
+        ),
+    )
+
+
+def decode_aggregate(
+    enc: DataFrame,
+    columns: list[str] | None = None,
+    use_stats: bool = True,
+    group_by: str | None = None,
+) -> DataFrame:
+    """Aggregate pushdown through the codec layer.
+
+    Fast path (``use_stats``): every chunk row carries exact per-chunk
+    statistics written at encode time (n_nulls; exact integer sum as an
+    arbitrary-precision string; byte totals via raw_bytes), so the whole
+    aggregate is ONE native JVM job over the metadata columns — the
+    payload column is pruned from the parquet scan and no codec runs at
+    all.  This is the footer-statistics pattern: at 100 TB the aggregate
+    costs O(chunk count), not O(data).  The job doubles as the
+    availability check: columns whose chunks lack the needed stats (older
+    stores) are detected from the SAME job's ``__ok`` flag and re-answered
+    through the decode path — no separate pre-check scan.  The stats path
+    therefore runs its (single, tiny) metadata job eagerly.
+
+    ``group_by``: GROUP BY a declared group column.  When the table was
+    encoded with ``stats_group_by=<same column>``, the grouped fast path
+    answers from the per-chunk per-group partials in metadata (payload
+    pruned, O(chunks x groups)); otherwise — or for columns/chunks whose
+    grouped stats are absent — one applyInArrow per chunk computes exact
+    per-group partials from the payloads (no decoded rows cross the
+    Python->JVM boundary).  Grouped results carry ``group`` (string; SQL
+    NULL for null group values) and omit min/max.
+
+    Returns one row per column (or per (group, column)): ``n_rows`` (incl.
+    nulls), ``n_nulls``, ``sum_exact`` (exact integer sum as a string —
+    int64/bool/ts-micros/date-days domains; arbitrary-precision, no double
+    drift; null for float/string), ``sum_bytes`` (total utf8/binary bytes,
+    strings only).
+
+    Needs no chunk colocation in the ungrouped paths; the grouped decode
+    path groups by chunk_id itself."""
+    if columns is not None:
+        keep = set(columns) | ({group_by} if group_by is not None else set())
+        enc = enc.filter(F.col("column").isin(sorted(keep)))
+
+    if group_by is not None:
+        out_columns = columns
+        if out_columns is None:
+            out_columns = [r["column"] for r in column_meta(enc)]
+        if not use_stats:
+            return _degroup_null_key(
+                _agg_decode_path_grouped(enc, group_by, out_columns)
+            ).filter(F.col("column").isin(out_columns)).orderBy("group", "column")
+        rows = (
+            _grouped_stats_aggregate(
+                enc.filter(F.col("column").isin(out_columns)), group_by
+            ).collect()
+        )
+        bad = sorted({r["column"] for r in rows if r["__ok"] != 1})
+        good_rows = [
+            (
+                None if r["__g"] == NULL_GROUP_KEY else r["__g"],
+                r["column"], r["n_rows"], r["n_nulls"],
+                r["sum_exact"], r["sum_bytes"],
+            )
+            for r in rows
+            if r["column"] not in bad
+        ]
+        spark = enc.sparkSession
+        good_df = spark.createDataFrame(good_rows, schema=_GAGG_SCHEMA)
+        if bad:
+            fb = _degroup_null_key(
+                _agg_decode_path_grouped(enc, group_by, bad)
+            ).filter(F.col("column").isin(bad))
+            good_df = good_df.unionByName(fb)
+        return good_df.orderBy("group", "column")
+
+    if not use_stats:
+        return _agg_decode_path(enc).orderBy("column")
+
+    rows = _stats_aggregate(enc).collect()  # the ONE metadata job
+    bad = sorted(r["column"] for r in rows if r["__ok"] != 1)
+    good_rows = [tuple(r)[:-1] for r in rows if r["__ok"] == 1]
+    spark = enc.sparkSession
+    good_df = spark.createDataFrame(good_rows, schema=_AGG_SCHEMA)
+    if bad:
+        good_df = good_df.unionByName(
+            _agg_decode_path(enc.filter(F.col("column").isin(bad)))
+        )
+    return good_df.orderBy("column")
 
 
 def prune_chunks_by_range(
