@@ -275,10 +275,20 @@ def main() -> None:
         # scaling sessions: bucket-layout decode scales ~1.0 where the
         # chunk-store decode leg bus-binds at 0.56-0.61): bucketed encode
         # ships only compressed fragments; bucketed decode reads the
-        # bucket-partitioned layout with zero exchanges
-        timed10("encode_bucketed", lambda: encode_table_bucketed(wp10, key="url", n_buckets=64)
+        # bucket-partitioned layout with zero exchanges.
+        # Fragment sizing: fragments = scan splits x buckets, and each
+        # fragment pays fixed decode cost (param unpack + symbol table), so
+        # the 16 MB ingest splits would yield ~7700 ~1300-row fragments
+        # (measured 2x slower decode from per-fragment overhead alone).
+        # 64 MB splits x 32 buckets ≈ 1000 fragments of ~10k rows — the
+        # same sizing rule a 100 TB deployment applies (fragments of tens
+        # of MB via compact_store / bucket count).
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 << 20))
+        wp10b = spark.read.parquet(in10)
+        timed10("encode_bucketed", lambda: encode_table_bucketed(wp10b, key="url", n_buckets=32)
                 .repartition("bucket").write.partitionBy("bucket")
                 .mode("overwrite").parquet(f"{tmp}/wp10_enc_bkt"))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 << 20))
         enc10b = spark.read.parquet(f"{tmp}/wp10_enc_bkt")
         meta10b = column_meta(enc10b)
         timed10("decode_bucketed", lambda: decode_table_colocated(

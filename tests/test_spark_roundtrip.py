@@ -602,3 +602,27 @@ def test_filtered_decode_matches_native_filter_with_nulls(spark):
         )
         assert got == want, (where, len(got), len(want))
         assert len(got) > 0, where  # predicate must actually select rows
+
+
+def test_decode_aggregate_grouped_adversarial_keys(spark):
+    """Grouped stats ride a JSON map keyed by group VALUES — quotes,
+    backslashes, unicode, tabs, empty strings, JSON-lookalikes, and null
+    groups must all survive the encode-side json.dumps -> Spark from_json
+    round trip and agree with the decode path and a plain groupBy."""
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators.encode import decode_aggregate
+
+    groups = ['he said "hi"', 'back\\slash', 'unié中', '', 'tab\tsep',
+              None, 'a,b', '{"j":1}']
+    rows = [(i, groups[i % len(groups)], i * 7) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    enc = encode_table(df, key="id", n_chunks=3, stats_group_by="g")
+    fast = sorted((tuple(r) for r in
+                   decode_aggregate(enc, columns=["v"], group_by="g").collect()), key=str)
+    slow = sorted((tuple(r) for r in decode_aggregate(
+        enc, columns=["v"], group_by="g", use_stats=False).collect()), key=str)
+    exp = sorted(((r["g"], "v", r["n"], 0, str(r["s"]), None) for r in
+                  df.groupBy("g").agg(F.count("*").alias("n"),
+                                      F.sum("v").alias("s")).collect()), key=str)
+    assert fast == slow == exp
