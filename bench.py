@@ -271,6 +271,16 @@ def main() -> None:
                 .agg(F.sum(F.length("text"))).collect())
         timed10("decode_agg_pushdown", lambda: _dagg(enc10, use_stats=False).collect())
         timed10("decode_agg_stats", lambda: _dagg(enc10).collect())
+        # GROUPED aggregate pushdown at scale: re-encode with per-group
+        # chunk stats (timed separately — shows the encode-side cost of
+        # writing the group partials), then answer "rows/nulls/bytes by
+        # lang" from metadata alone (O(chunks x groups), payload pruned)
+        timed10("encode_per_split_gstats", lambda: encode_table_per_split(
+            wp10, key="url", stats_group_by="lang")
+                .write.partitionBy("chunk_id").mode("overwrite").parquet(f"{tmp}/wp10_enc_g"))
+        enc10g = spark.read.parquet(f"{tmp}/wp10_enc_g")
+        timed10("decode_agg_grouped_stats", lambda: _dagg(
+            enc10g, columns=["url", "text", "warc_ts"], group_by="lang").collect())
         # clustered topology at scale — the PRODUCTION pair (BASELINE.md
         # scaling sessions: bucket-layout decode scales ~1.0 where the
         # chunk-store decode leg bus-binds at 0.56-0.61): bucketed encode
@@ -283,17 +293,21 @@ def main() -> None:
         # 64 MB splits x 32 buckets ≈ 1000 fragments of ~10k rows — the
         # same sizing rule a 100 TB deployment applies (fragments of tens
         # of MB via compact_store / bucket count).
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 << 20))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 << 20))
         wp10b = spark.read.parquet(in10)
         timed10("encode_bucketed", lambda: encode_table_bucketed(wp10b, key="url", n_buckets=32)
                 .repartition("bucket").write.partitionBy("bucket")
                 .mode("overwrite").parquet(f"{tmp}/wp10_enc_bkt"))
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 << 20))
+        # read the store at its natural granularity (one ~40 MB bucket file
+        # per task — row groups are not split anyway; small maxPartitionBytes
+        # only multiplies scan tasks that each wait on the same row group)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
         enc10b = spark.read.parquet(f"{tmp}/wp10_enc_bkt")
         meta10b = column_meta(enc10b)
         timed10("decode_bucketed", lambda: decode_table_colocated(
             enc10b, meta=meta10b, check_layout=False)
                 .agg(F.sum(F.length("text"))).collect())
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 << 20))
         t0 = time.perf_counter()
         wp10.write.mode("overwrite").parquet(f"{tmp}/wp10_native")
         nat_w10 = round(time.perf_counter() - t0, 3)

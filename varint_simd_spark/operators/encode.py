@@ -1038,17 +1038,24 @@ def _stats_aggregate(enc: DataFrame) -> DataFrame:
     EVERY chunk row of the column carries the stats the dtype needs) so
     the caller can fall back per column without a separate pre-check scan.
     The payload column never appears — Catalyst prunes it from the
-    encoded-store parquet scan."""
-    meta_cols = enc.select("column", "dtype", "n_values", "raw_bytes", "stats")
-    nn = F.get_json_object("stats", "$.n_nulls")
-    sm = F.get_json_object("stats", "$.sum")
+    encoded-store parquet scan.  The stats JSON is parsed ONCE per row
+    (from_json struct; min/max stay strings because f64 zone values are
+    fractional — the long cast below is input-guarded by dtype)."""
+    st = F.from_json(
+        "stats", "n_nulls BIGINT, sum STRING, min STRING, max STRING"
+    )
+    meta_cols = enc.select(
+        "column", "dtype", "n_values", "raw_bytes", st.alias("__st")
+    )
+    nn = F.col("__st.n_nulls")
+    sm = F.col("__st.sum")
     needs_sum = ~F.col("dtype").isin("str", "bin", "f64")
     ok = (nn.isNotNull() & (~needs_sum | sm.isNotNull())).cast("int")
     return (
         meta_cols.groupBy("column")
         .agg(
             F.sum("n_values").alias("n_rows"),
-            F.sum(nn.cast("long")).alias("n_nulls"),
+            F.sum(nn).alias("n_nulls"),
             F.when(
                 F.max("dtype").isin("str", "bin", "f64"), F.lit(None)
             )
@@ -1062,7 +1069,7 @@ def _stats_aggregate(enc: DataFrame) -> DataFrame:
             F.min(
                 F.when(
                     ~F.col("dtype").isin("str", "bin", "f64"),
-                    F.get_json_object("stats", "$.min"),
+                    F.col("__st.min"),
                 ).cast("long")
             )
             .cast("string")
@@ -1070,7 +1077,7 @@ def _stats_aggregate(enc: DataFrame) -> DataFrame:
             F.max(
                 F.when(
                     ~F.col("dtype").isin("str", "bin", "f64"),
-                    F.get_json_object("stats", "$.max"),
+                    F.col("__st.max"),
                 ).cast("long")
             )
             .cast("string")
@@ -1100,8 +1107,10 @@ def _grouped_stats_aggregate(enc: DataFrame, group_by: str) -> DataFrame:
     per-chunk per-group partials and combine them per (column, group).
     ``__ok`` is 1 iff every chunk row of the column carries grouped stats
     declared for this ``group_by`` column (explode_outer keeps rows
-    without them, flagged 0, so the flag rides the same job)."""
-    by = F.from_json(F.get_json_object("stats", "$.by"), _BY_JSON_SCHEMA)
+    without them, flagged 0, so the flag rides the same job).  One
+    from_json parse per row (partial schema — unrelated stats keys are
+    ignored by the parser)."""
+    by = F.from_json("stats", f"by STRUCT<{_BY_JSON_SCHEMA}>")["by"]
     ok = (by.isNotNull() & (by["col"] == F.lit(group_by))).cast("int")
     ex = enc.select(
         "column",
@@ -1337,37 +1346,49 @@ def decode_aggregate(
             ).collect()
         )
         bad = sorted({r["column"] for r in rows if r["__ok"] != 1})
-        good_rows = [
+        good_rows = sorted(
             (
-                None if r["__g"] == NULL_GROUP_KEY else r["__g"],
-                r["column"], r["n_rows"], r["n_nulls"],
-                r["sum_exact"], r["sum_bytes"],
-            )
-            for r in rows
-            if r["column"] not in bad
-        ]
+                (
+                    None if r["__g"] == NULL_GROUP_KEY else r["__g"],
+                    r["column"], r["n_rows"], r["n_nulls"],
+                    r["sum_exact"], r["sum_bytes"],
+                )
+                for r in rows
+                if r["column"] not in bad
+            ),
+            # SQL-style NULLS FIRST ordering, computed driver-side: a Spark
+            # orderBy on the tiny local result would spin up a full
+            # range-partitioning sample job + shuffle (measured ~0.9 s of
+            # pure scheduling for 13 rows)
+            key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+        )
         spark = enc.sparkSession
         good_df = spark.createDataFrame(good_rows, schema=_GAGG_SCHEMA)
         if bad:
             fb = _degroup_null_key(
                 _agg_decode_path_grouped(enc, group_by, bad)
             ).filter(F.col("column").isin(bad))
-            good_df = good_df.unionByName(fb)
-        return good_df.orderBy("group", "column")
+            good_df = good_df.unionByName(fb).orderBy("group", "column")
+        return good_df
 
     if not use_stats:
         return _agg_decode_path(enc).orderBy("column")
 
     rows = _stats_aggregate(enc).collect()  # the ONE metadata job
     bad = sorted(r["column"] for r in rows if r["__ok"] != 1)
-    good_rows = [tuple(r)[:-1] for r in rows if r["__ok"] == 1]
+    # sort driver-side: a Spark orderBy on the tiny local result would
+    # spin up a range-partitioning sample job + shuffle (measured ~0.9 s
+    # of pure scheduling for 13 rows)
+    good_rows = sorted(
+        (tuple(r)[:-1] for r in rows if r["__ok"] == 1), key=lambda t: t[0]
+    )
     spark = enc.sparkSession
     good_df = spark.createDataFrame(good_rows, schema=_AGG_SCHEMA)
     if bad:
         good_df = good_df.unionByName(
             _agg_decode_path(enc.filter(F.col("column").isin(bad)))
-        )
-    return good_df.orderBy("column")
+        ).orderBy("column")
+    return good_df
 
 
 def prune_chunks_by_range(
