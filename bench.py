@@ -295,12 +295,13 @@ def main() -> None:
         # ships only compressed fragments; bucketed decode reads the
         # bucket-partitioned layout with zero exchanges.
         # Fragment sizing: fragments = scan splits x buckets, and each
-        # fragment pays fixed decode cost (param unpack + symbol table), so
-        # the 16 MB ingest splits would yield ~7700 ~1300-row fragments
-        # (measured 2x slower decode from per-fragment overhead alone).
-        # 64 MB splits x 32 buckets ≈ 1000 fragments of ~10k rows — the
-        # same sizing rule a 100 TB deployment applies (fragments of tens
-        # of MB via compact_store / bucket count).
+        # fragment pays fixed per-invocation decode cost, so the 16 MB
+        # ingest splits would yield ~7700 ~1300-row fragments.  32 MB
+        # splits x 32 buckets ≈ 2000 fragments of ~5k rows — balances
+        # fragment size against task count (~60 encode tasks on 32 cores;
+        # 64 MB halves the fragments again but leaves a single task wave
+        # with straggler exposure) — the same sizing rule a 100 TB
+        # deployment applies via bucket count / compact_store.
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 << 20))
         wp10b = spark.read.parquet(in10)
         timed10("encode_bucketed", lambda: encode_table_bucketed(wp10b, key="url", n_buckets=32)

@@ -614,15 +614,54 @@ def test_decode_aggregate_grouped_adversarial_keys(spark):
     from varint_simd_spark.operators.encode import decode_aggregate
 
     groups = ['he said "hi"', 'back\\slash', 'unié中', '', 'tab\tsep',
-              None, 'a,b', '{"j":1}']
-    rows = [(i, groups[i % len(groups)], i * 7) for i in range(400)]
+              None, 'a,b', '{"j":1}', '\x00', '\x00deep']
+    rows = [
+        (
+            i,
+            groups[i % len(groups)],
+            # one group ('a,b', index 6) is ALL NULL: SQL SUM must be NULL
+            None if i % len(groups) == 6 else i * 7,
+        )
+        for i in range(400)
+    ]
     df = spark.createDataFrame(rows, "id long, g string, v long")
     enc = encode_table(df, key="id", n_chunks=3, stats_group_by="g")
     fast = sorted((tuple(r) for r in
                    decode_aggregate(enc, columns=["v"], group_by="g").collect()), key=str)
     slow = sorted((tuple(r) for r in decode_aggregate(
         enc, columns=["v"], group_by="g", use_stats=False).collect()), key=str)
-    exp = sorted(((r["g"], "v", r["n"], 0, str(r["s"]), None) for r in
+    exp = sorted(((r["g"], "v", r["n"], r["nn"],
+                   None if r["s"] is None else str(r["s"]), None) for r in
                   df.groupBy("g").agg(F.count("*").alias("n"),
+                                      F.sum(F.col("v").isNull().cast("long")).alias("nn"),
                                       F.sum("v").alias("s")).collect()), key=str)
     assert fast == slow == exp
+
+
+def test_decode_aggregate_grouped_timestamp_group(spark):
+    """Timestamp group columns: the encode side sees tz-aware arrow
+    timestamps, the decode fallback sees tz-naive ones — both must emit
+    the SAME canonical (epoch-micros) group keys, so the stats path, the
+    decode path, and the per-column fallback union never mix labels."""
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.operators.encode import decode_aggregate
+
+    df = spark.range(300).select(
+        F.col("id"),
+        F.timestamp_micros(F.lit(1_600_000_000_000_000) + (F.col("id") % 4) * 86_400_000_000).alias("day"),
+        (F.col("id") * 3).alias("v"),
+    )
+    enc = encode_table(df, key="id", n_chunks=3, stats_group_by="day")
+    fast = sorted((tuple(r) for r in
+                   decode_aggregate(enc, columns=["v"], group_by="day").collect()), key=str)
+    slow = sorted((tuple(r) for r in decode_aggregate(
+        enc, columns=["v"], group_by="day", use_stats=False).collect()), key=str)
+    assert fast == slow
+    exp = {
+        str(r["us"]): (r["n"], str(r["s"]))
+        for r in df.groupBy(F.unix_micros("day").alias("us"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    got = {r[0]: (r[2], r[4]) for r in fast}
+    assert got == exp

@@ -185,10 +185,6 @@ def _zone_map_dict(arr: pa.Array, tag: str) -> dict:
     return st
 
 
-def _zone_map(arr: pa.Array, tag: str) -> str:
-    return json.dumps(_zone_map_dict(arr, tag))
-
-
 # per-chunk grouped statistics are written only for group columns with at
 # most this many distinct values in the chunk — beyond it the stats JSON
 # would stop being "metadata" (grouped aggregation falls back to the
@@ -202,12 +198,25 @@ NULL_GROUP_KEY = "\u0000"
 
 def _group_codes(garr: pa.Array, max_groups: int | None = MAX_STAT_GROUPS):
     """Factorize a group column into (codes int64 ndarray, keys list[str]).
-    Nulls map to the NULL_GROUP_KEY sentinel.  Returns None when the chunk
-    exceeds ``max_groups`` distinct groups (caller omits grouped stats)."""
+    Nulls map to the NULL_GROUP_KEY sentinel; a REAL group value starting
+    with NUL is escaped with one extra NUL so it can never collide with
+    the sentinel (``_unescape_group_key`` reverses both).  Timestamps are
+    canonicalized to epoch-micros keys first: the encode side sees
+    Spark's tz-aware arrow timestamps while the decode fallback sees the
+    codec layer's tz-naive ones, and their str() forms differ.  Returns
+    None when the chunk exceeds ``max_groups`` distinct groups (caller
+    omits grouped stats)."""
+    if pa.types.is_timestamp(garr.type):
+        garr = garr.cast(pa.timestamp("us")).view(pa.int64())
     d = garr.dictionary_encode()
     if isinstance(d, pa.ChunkedArray):
         d = d.combine_chunks()
-    keys = [k if isinstance(k, str) else str(k) for k in d.dictionary.to_pylist()]
+    keys = [
+        (NULL_GROUP_KEY + k if isinstance(k, str) and k.startswith(NULL_GROUP_KEY) else k)
+        if isinstance(k, str)
+        else str(k)
+        for k in d.dictionary.to_pylist()
+    ]
     idx = d.indices
     if idx.null_count:
         codes = idx.fill_null(len(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -217,6 +226,16 @@ def _group_codes(garr: pa.Array, max_groups: int | None = MAX_STAT_GROUPS):
     if max_groups is not None and len(keys) > max_groups:
         return None
     return codes, keys
+
+
+def _unescape_group_key(k: str | None) -> str | None:
+    """Inverse of the _group_codes key mapping: the bare sentinel is the
+    SQL NULL group; a NUL-prefixed key drops its escape character."""
+    if k == NULL_GROUP_KEY:
+        return None
+    if k is not None and k.startswith(NULL_GROUP_KEY):
+        return k[1:]
+    return k
 
 
 def _group_partials(arr: pa.Array, tag: str, codes: np.ndarray, n_groups: int) -> list[dict | None]:
@@ -249,9 +268,11 @@ def _group_partials(arr: pa.Array, tag: str, codes: np.ndarray, n_groups: int) -
         return [base(g) if n_g[g] else None for g in range(n_groups)]
     v = _to_int64_keep_nulls(arr, tag)
     if arr.null_count == len(arr):
-        return [
-            {**base(g), "sum": "0"} if n_g[g] else None for g in range(n_groups)
-        ]
+        # SQL SUM over only-nulls is NULL (unlike the ungrouped chunk
+        # stats, whose "0" convention predates grouping and is pinned by
+        # the ungrouped oracle) — omit the key so the decimal SUM of the
+        # final combine stays NULL for fully-null groups
+        return [base(g) if n_g[g] else None for g in range(n_groups)]
     mm = pc.min_max(v)
     lo, hi = mm["min"].as_py(), mm["max"].as_py()
     filled = pc.fill_null(v, pa.scalar(lo, pa.int64())).to_numpy(zero_copy_only=False)
@@ -268,7 +289,8 @@ def _group_partials(arr: pa.Array, tag: str, codes: np.ndarray, n_groups: int) -
         np.add.at(acc, codes, filled.astype(object))
         sums = [int(acc[g]) - lo * int(nn_g[g]) for g in range(n_groups)]
     return [
-        {**base(g), "sum": str(sums[g])} if n_g[g] else None
+        # a group whose values are all NULL sums to SQL NULL, not 0
+        ({**base(g), "sum": str(sums[g])} if nz[g] else base(g)) if n_g[g] else None
         for g in range(n_groups)
     ]
 
@@ -1108,11 +1130,17 @@ def _grouped_stats_aggregate(enc: DataFrame, group_by: str) -> DataFrame:
     ``__ok`` is 1 iff every chunk row of the column carries grouped stats
     declared for this ``group_by`` column (explode_outer keeps rows
     without them, flagged 0, so the flag rides the same job).  One
-    from_json parse per row (partial schema — unrelated stats keys are
-    ignored by the parser)."""
-    by = F.from_json("stats", f"by STRUCT<{_BY_JSON_SCHEMA}>")["by"]
+    from_json parse per row: the parsed struct is materialized as its own
+    projection first — referencing ``by`` from both the flag and the
+    explode generator would JSON-parse every row twice (subexpression
+    elimination does not span the Project/Generate operator boundary)."""
+    parsed = enc.select(
+        "column",
+        F.from_json("stats", f"by STRUCT<{_BY_JSON_SCHEMA}>")["by"].alias("__by"),
+    )
+    by = F.col("__by")
     ok = (by.isNotNull() & (by["col"] == F.lit(group_by))).cast("int")
-    ex = enc.select(
+    ex = parsed.select(
         "column",
         ok.alias("__ok"),
         F.explode_outer(by["groups"]).alias("__g", "__gv"),
@@ -1282,12 +1310,14 @@ def _agg_decode_path_grouped(
 
 
 def _degroup_null_key(df: DataFrame) -> DataFrame:
-    """Convert the JSON null-group sentinel back to a real SQL NULL."""
+    """Spark-side :func:`_unescape_group_key`: the bare sentinel becomes a
+    real SQL NULL; NUL-escaped real keys drop the escape character."""
+    g = F.col("group")
     return df.withColumn(
         "group",
-        F.when(F.col("group") == F.lit(NULL_GROUP_KEY), F.lit(None)).otherwise(
-            F.col("group")
-        ),
+        F.when(g == F.lit(NULL_GROUP_KEY), F.lit(None))
+        .when(g.startswith(NULL_GROUP_KEY), F.substring("group", 2, 2147483646))
+        .otherwise(g),
     )
 
 
@@ -1349,7 +1379,7 @@ def decode_aggregate(
         good_rows = sorted(
             (
                 (
-                    None if r["__g"] == NULL_GROUP_KEY else r["__g"],
+                    _unescape_group_key(r["__g"]),
                     r["column"], r["n_rows"], r["n_nulls"],
                     r["sum_exact"], r["sum_bytes"],
                 )
