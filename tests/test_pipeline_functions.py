@@ -693,3 +693,36 @@ def test_media_generator_and_real_features_end_to_end(spark):
     expw /= expw.sum()
     assert np.allclose(np.array(feats[mid]["features"]), expw, atol=1e-6)
     assert len(make_wav(mid)) == feats[mid]["n_bytes"]
+
+
+def test_dedup_clusters_100k_scale(spark):
+    """Scale evidence for the clustering operator: 120k edges over 100k
+    vertices forming 20k five-vertex star/chain components — label
+    propagation must converge in O(diameter) rounds with exact cluster
+    assignment (closed-form oracle: cluster id = vertex - vertex % 5),
+    entirely via equi-joins (no driver-side graph)."""
+    from pyspark.sql import functions as F
+
+    from varint_simd_spark.functions.dedup import dedup_clusters
+
+    base = spark.range(100_000).select(F.col("id"))
+    # chain edges (v, v+1) within each 5-block + one star edge per block
+    chain = base.filter(F.col("id") % 5 != 4).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    star = base.filter(F.col("id") % 5 == 3).select(
+        (F.col("id") - 3).alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    pairs = chain.unionAll(star)
+
+    out = dedup_clusters(pairs)
+    bad = out.filter(
+        F.col("cluster_id") != F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(5))
+    ).count()
+    assert bad == 0
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_canonical").cast("long")).alias("canon"),
+        F.max("cluster_size").alias("mx"),
+        F.min("cluster_size").alias("mn"),
+    ).collect()[0]
+    assert agg["n"] == 100_000 and agg["canon"] == 20_000
+    assert agg["mx"] == 5 and agg["mn"] == 5
