@@ -726,3 +726,24 @@ def test_dedup_clusters_100k_scale(spark):
     ).collect()[0]
     assert agg["n"] == 100_000 and agg["canon"] == 20_000
     assert agg["mx"] == 5 and agg["mn"] == 5
+
+
+def test_dedup_clusters_canonical_by_score(spark):
+    """scores= switches canonical selection to the best-scoring doc per
+    cluster (ties -> min id; missing scores rank lowest); cluster
+    assignment itself is unchanged."""
+    from varint_simd_spark.functions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31)], "id_a long, id_b long"
+    )
+    # 12 best in cluster 10; tie between 20/21 -> min id 20; 30/31
+    # unscored -> min id 30
+    scores = spark.createDataFrame(
+        [(10, 0.1), (11, 0.5), (12, 0.9), (20, 0.7), (21, 0.7)],
+        "doc_id long, q double",
+    )
+    out = {r["doc_id"]: r for r in dedup_clusters(pairs, scores=scores).collect()}
+    assert {k for k, v in out.items() if v["is_canonical"]} == {12, 20, 30}
+    assert out[12]["cluster_id"] == 10 and out[12]["cluster_size"] == 3
+    assert out[31]["cluster_id"] == 30

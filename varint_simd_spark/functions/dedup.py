@@ -208,7 +208,9 @@ def ngram_jaccard_allpairs(docs: DataFrame, id_col: str, text_col: str, k: int =
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 20, scores: DataFrame | None = None
+) -> DataFrame:
     """Near-dup PAIRS -> dup CLUSTERS: connected components over the pair
     graph via iterative min-label propagation, plus canonical-document
     selection — the step every real dedup pipeline needs after LSH (keep
@@ -217,7 +219,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     ``pairs``: (id_a, id_b) near-duplicate edges (e.g. from
     :func:`minhash_lsh_pairs`).  Returns one row per vertex:
     (doc_id, cluster_id, cluster_size, is_canonical) where ``cluster_id``
-    is the component's minimum doc id and the canonical doc is its holder.
+    is the component's minimum doc id and the canonical doc is its holder
+    — unless ``scores`` is given: a 2-column (id, score) DataFrame (e.g.
+    from quality_score) that switches canonical selection to the
+    best-scoring doc per cluster (ties -> min id; missing scores rank
+    lowest).
 
     Algorithm (100 TB-safe): labels start as each vertex's own id; each
     round propagates labels across edges with ONE equi-join + min-groupBy
@@ -271,13 +277,38 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             "(component diameter exceeds max_iter)"
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+    if scores is None:
+        return out
+    # quality-based canonical selection: keep the best-scoring doc per
+    # cluster (ties broken by min id for determinism) — one equi-join +
+    # max-groupBy, no window over the whole table
+    sc = scores.select(
+        F.col(scores.columns[0]).cast("long").alias("doc_id"),
+        F.col(scores.columns[1]).cast("double").alias("__score"),
+    )
+    scored = out.join(sc, "doc_id", "left").withColumn(
+        "__score", F.coalesce("__score", F.lit(float("-inf")))
+    )
+    # pick = (max score, then min id) encoded as one orderable struct so a
+    # single max-groupBy selects it (argmax without a window function)
+    pick = (
+        scored.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("__score"), (-F.col("doc_id")).alias("__nid"))).alias("__p"))
+        .select("cluster_id", (-F.col("__p.__nid")).alias("__canon_id"))
+    )
     return (
-        labels.join(sizes, "label")
+        scored.join(pick, "cluster_id")
         .select(
-            F.col("id").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
+            "doc_id",
+            "cluster_id",
             "cluster_size",
-            (F.col("id") == F.col("label")).alias("is_canonical"),
+            (F.col("doc_id") == F.col("__canon_id")).alias("is_canonical"),
         )
     )
 
