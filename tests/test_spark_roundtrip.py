@@ -497,14 +497,16 @@ def test_decode_aggregate_grouped_stats_matches_decode_and_sql(spark, tmp_path):
         F.sum(F.octet_length("text")).alias("b"), F.count("*").alias("n")).collect()}
     for g, e in exp_b.items():
         r = got[(g, "text")]
-        assert r[5] == e["b"] and r[2] == e["n"]
-    # nullable ints: per-group null counts + sums
+        assert r[7] == e["b"] and r[2] == e["n"]
+    # nullable ints: per-group null counts + sums + exact min/max
     exp_n = {r["lang"]: r for r in wp.groupBy("lang").agg(
         F.sum("n_chars").alias("s"),
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"),
         F.sum(F.col("n_chars").isNull().cast("long")).alias("nn")).collect()}
     for g, e in exp_n.items():
         r = got[(g, "n_chars")]
         assert r[3] == e["nn"] and r[4] == str(e["s"])
+        assert r[5] == str(e["mn"]) and r[6] == str(e["mx"])
 
     # the grouped metadata job must never read the payload column
     store = str(tmp_path / "gaggstore")
@@ -631,9 +633,12 @@ def test_decode_aggregate_grouped_adversarial_keys(spark):
     slow = sorted((tuple(r) for r in decode_aggregate(
         enc, columns=["v"], group_by="g", use_stats=False).collect()), key=str)
     exp = sorted(((r["g"], "v", r["n"], r["nn"],
-                   None if r["s"] is None else str(r["s"]), None) for r in
+                   None if r["s"] is None else str(r["s"]),
+                   None if r["mn"] is None else str(r["mn"]),
+                   None if r["mx"] is None else str(r["mx"]), None) for r in
                   df.groupBy("g").agg(F.count("*").alias("n"),
                                       F.sum(F.col("v").isNull().cast("long")).alias("nn"),
+                                      F.min("v").alias("mn"), F.max("v").alias("mx"),
                                       F.sum("v").alias("s")).collect()), key=str)
     assert fast == slow == exp
 

@@ -660,13 +660,17 @@ ORACLES = {
         "SELECT lang AS \"group\", 'doc_id' AS \"column\", COUNT(*)::BIGINT AS n_rows, "
         "(COUNT(*) - COUNT(doc_id))::BIGINT AS n_nulls, "
         "CAST(SUM(doc_id) AS VARCHAR) AS sum_exact, "
+        "CAST(MIN(doc_id) AS VARCHAR) AS min_exact, "
+        "CAST(MAX(doc_id) AS VARCHAR) AS max_exact, "
         "NULL::BIGINT AS sum_bytes FROM documents GROUP BY lang "
         "UNION ALL "
         "SELECT lang, 'n_chars', COUNT(*)::BIGINT, (COUNT(*) - COUNT(n_chars))::BIGINT, "
-        "CAST(SUM(n_chars) AS VARCHAR), NULL::BIGINT FROM documents GROUP BY lang "
+        "CAST(SUM(n_chars) AS VARCHAR), CAST(MIN(n_chars) AS VARCHAR), "
+        "CAST(MAX(n_chars) AS VARCHAR), NULL::BIGINT FROM documents GROUP BY lang "
         "UNION ALL "
         "SELECT lang, 'text', COUNT(*)::BIGINT, (COUNT(*) - COUNT(text))::BIGINT, "
-        "NULL::VARCHAR, SUM(strlen(text))::BIGINT FROM documents GROUP BY lang"
+        "NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, "
+        "SUM(strlen(text))::BIGINT FROM documents GROUP BY lang"
         ") ORDER BY \"group\", \"column\""
     ),
     "decode_aggregate_documents": (

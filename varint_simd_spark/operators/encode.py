@@ -240,8 +240,8 @@ def _unescape_group_key(k: str | None) -> str | None:
 
 def _group_partials(arr: pa.Array, tag: str, codes: np.ndarray, n_groups: int) -> list[dict | None]:
     """Per-group exact partials of one column: entry g is
-    ``{"n", "nn"[, "sum"][, "bytes"]}`` (None for groups absent from the
-    chunk).  ``sum`` is the exact integer sum (arbitrary precision, same
+    ``{"n", "nn"[, "sum", "min", "max"][, "bytes"]}`` (None for groups
+    absent from the chunk).  ``sum`` is the exact integer sum (arbitrary precision, same
     shift-by-min guard as :func:`_exact_int_sum`); ``bytes`` is total
     utf8/binary bytes for string columns; f64 carries n/nn only (float
     addition is order-dependent)."""
@@ -288,9 +288,28 @@ def _group_partials(arr: pa.Array, tag: str, codes: np.ndarray, n_groups: int) -
         acc = np.zeros(n_groups, object)
         np.add.at(acc, codes, filled.astype(object))
         sums = [int(acc[g]) - lo * int(nn_g[g]) for g in range(n_groups)]
+    # per-group exact min/max over NON-NULL rows only (filling nulls with
+    # lo would corrupt group minima, so the scatter runs on the compacted
+    # non-null subset); sentinel-initialized slots of all-null groups are
+    # never emitted (nz[g] == 0 -> no min/max/sum keys, SQL NULL)
+    if arr.null_count:
+        nn_mask = ~pc.is_null(arr).to_numpy(zero_copy_only=False)
+        codes_nn, v_nn = codes[nn_mask], filled[nn_mask]
+    else:
+        codes_nn, v_nn = codes, filled
+    mn = np.full(n_groups, hi, np.int64)
+    mx = np.full(n_groups, lo, np.int64)
+    np.minimum.at(mn, codes_nn, v_nn)
+    np.maximum.at(mx, codes_nn, v_nn)
     return [
         # a group whose values are all NULL sums to SQL NULL, not 0
-        ({**base(g), "sum": str(sums[g])} if nz[g] else base(g)) if n_g[g] else None
+        (
+            {**base(g), "sum": str(sums[g]), "min": int(mn[g]), "max": int(mx[g])}
+            if nz[g]
+            else base(g)
+        )
+        if n_g[g]
+        else None
         for g in range(n_groups)
     ]
 
@@ -1049,6 +1068,8 @@ _GAGG_SCHEMA = T.StructType(
         T.StructField("n_rows", T.LongType()),
         T.StructField("n_nulls", T.LongType()),
         T.StructField("sum_exact", T.StringType()),
+        T.StructField("min_exact", T.StringType()),
+        T.StructField("max_exact", T.StringType()),
         T.StructField("sum_bytes", T.LongType()),
     ]
 )
@@ -1120,7 +1141,7 @@ def _stats_aggregate(enc: DataFrame) -> DataFrame:
 # time (stats.by) — from_json returns null for rows lacking them
 _BY_JSON_SCHEMA = (
     "col STRING, groups MAP<STRING, "
-    "STRUCT<n: BIGINT, nn: BIGINT, sum: STRING, bytes: BIGINT>>"
+    "STRUCT<n: BIGINT, nn: BIGINT, sum: STRING, min: BIGINT, max: BIGINT, bytes: BIGINT>>"
 )
 
 
@@ -1149,6 +1170,8 @@ def _grouped_stats_aggregate(enc: DataFrame, group_by: str) -> DataFrame:
         F.sum("__gv.n").alias("n_rows"),
         F.sum("__gv.nn").alias("n_nulls"),
         F.sum(F.col("__gv.sum").cast("decimal(38,0)")).cast("string").alias("sum_exact"),
+        F.min("__gv.min").cast("string").alias("min_exact"),
+        F.max("__gv.max").cast("string").alias("max_exact"),
         F.sum("__gv.bytes").alias("sum_bytes"),
         F.min("__ok").alias("__ok"),
     )
@@ -1288,6 +1311,8 @@ def _agg_decode_path_grouped(
                 out["n_rows"].append(p["n"])
                 out["n_nulls"].append(p["nn"])
                 out["sum_exact"].append(p.get("sum"))
+                out["min_exact"].append(None if p.get("min") is None else str(p["min"]))
+                out["max_exact"].append(None if p.get("max") is None else str(p["max"]))
                 out["sum_bytes"].append(p.get("bytes"))
         return pa.table(
             {
@@ -1296,6 +1321,8 @@ def _agg_decode_path_grouped(
                 "n_rows": pa.array(out["n_rows"], pa.int64()),
                 "n_nulls": pa.array(out["n_nulls"], pa.int64()),
                 "sum_exact": pa.array(out["sum_exact"], pa.string()),
+                "min_exact": pa.array(out["min_exact"], pa.string()),
+                "max_exact": pa.array(out["max_exact"], pa.string()),
                 "sum_bytes": pa.array(out["sum_bytes"], pa.int64()),
             }
         )
@@ -1305,6 +1332,8 @@ def _agg_decode_path_grouped(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_nulls").alias("n_nulls"),
         F.sum(F.col("sum_exact").cast("decimal(38,0)")).cast("string").alias("sum_exact"),
+        F.min(F.col("min_exact").cast("long")).cast("string").alias("min_exact"),
+        F.max(F.col("max_exact").cast("long")).cast("string").alias("max_exact"),
         F.sum("sum_bytes").alias("sum_bytes"),
     )
 
@@ -1348,7 +1377,8 @@ def decode_aggregate(
     grouped stats are absent — one applyInArrow per chunk computes exact
     per-group partials from the payloads (no decoded rows cross the
     Python->JVM boundary).  Grouped results carry ``group`` (string; SQL
-    NULL for null group values) and omit min/max.
+    NULL for null group values) plus per-group exact min/max for
+    integer-family columns.
 
     Returns one row per column (or per (group, column)): ``n_rows`` (incl.
     nulls), ``n_nulls``, ``sum_exact`` (exact integer sum as a string —
@@ -1381,7 +1411,8 @@ def decode_aggregate(
                 (
                     _unescape_group_key(r["__g"]),
                     r["column"], r["n_rows"], r["n_nulls"],
-                    r["sum_exact"], r["sum_bytes"],
+                    r["sum_exact"], r["min_exact"], r["max_exact"],
+                    r["sum_bytes"],
                 )
                 for r in rows
                 if r["column"] not in bad

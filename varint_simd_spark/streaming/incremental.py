@@ -93,6 +93,7 @@ def encode_stream(
     codecs: dict[str, str] | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    stats_group_by: str | None = None,
 ):
     """Start the incremental encode stream; returns the StreamingQuery.
 
@@ -119,7 +120,7 @@ def encode_stream(
         if not pending:
             return  # full replay of an already-committed batch
         columns = [f.name for f in schema.fields]
-        fn = make_encode_chunk_fn(columns, codecs or {}, key)
+        fn = make_encode_chunk_fn(columns, codecs or {}, key, stats_group_by)
         # slot (0..n_chunks-1) by url-hash, then map slot -> hashed chunk id
         slot = F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks))
         id_map = F.map_from_arrays(
