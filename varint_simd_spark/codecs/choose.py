@@ -27,12 +27,13 @@ from .strings import _dict_encode_bo, arrow_to_bo
 
 def _int_candidate_sizes(v: np.ndarray) -> dict[str, int]:
     n = v.size
+    vlen_sum = varint.varint_len_sum
     sizes: dict[str, int] = {"raw64": 8 * n}
-    sizes["varint"] = int(varint.varint_len(v.view(np.uint64)).sum())
-    sizes["varint_zz"] = int(varint.varint_len(zigzag(v)).sum())
+    sizes["varint"] = vlen_sum(v.view(np.uint64))
+    sizes["varint_zz"] = vlen_sum(zigzag(v))
     if n > 1:
         zz_deltas = zigzag(np.diff(v))
-        sizes["delta_zz_varint"] = int(varint.varint_len(zz_deltas).sum()) + 10
+        sizes["delta_zz_varint"] = vlen_sum(zz_deltas) + 10
         dbits = max(1, int(zz_deltas.max()).bit_length()) if zz_deltas.size else 1
         sizes["delta_zz_bitpack"] = ((n - 1) * dbits + 7) // 8 + 24
     base = int(v.min())
@@ -44,8 +45,8 @@ def _int_candidate_sizes(v: np.ndarray) -> dict[str, int]:
     run_vals = v[starts]
     run_lens = np.diff(np.concatenate([starts, [n]]))
     sizes["rle_varint"] = (
-        int(varint.varint_len(zigzag(run_vals)).sum())
-        + int(varint.varint_len(run_lens.astype(np.uint64)).sum())
+        vlen_sum(zigzag(run_vals))
+        + vlen_sum(run_lens.astype(np.uint64))
         + 12
     )
     return sizes
@@ -56,7 +57,12 @@ def choose_int_codec(v: np.ndarray) -> tuple[str, str, dict]:
         return "varint", "empty", {}
     sizes = _int_candidate_sizes(v)
     best = min(sizes, key=sizes.get)
-    return best, f"min-cost {sizes[best]}B", {f"size_{k}": s for k, s in sizes.items()}
+    stats = {f"size_{k}": s for k, s in sizes.items()}
+    # the reference-encoder bound the operators record (ref_bytes) is by
+    # definition the varint_zz candidate's exact size — hand it over so
+    # _ref_and_raw_bytes skips its zigzag + length re-count per chunk
+    stats["_cache"] = {"ref_varint_zz": sizes["varint_zz"]}
+    return best, f"min-cost {sizes[best]}B", stats
 
 
 def _digram_ratio(blob: np.ndarray) -> float:

