@@ -481,6 +481,177 @@ def _check_stats_group_by(stats_group_by: str | None, columns: list[str]) -> Non
         )
 
 
+FRAG_SCHEMA = T.StructType(
+    ENCODED_SCHEMA.fields
+    + [T.StructField("__gkey", T.LongType()), T.StructField("__frag", T.LongType())]
+)
+
+
+def _encode_fragment_rows(
+    table: pa.Table, columns: list[str], chunk_id: int
+) -> pa.Table:
+    """Lean encoder for INTERMEDIATE fragment rows (fragment-merge
+    topology): fixed cheap codec policy — for_bitpack for integer
+    domains (min/max only, packs clustered keys hard), raw64 for f64,
+    raw_str for strings — and no ref/zone/grouped stats (the merge
+    re-encodes the whole chunk with the full machinery, so only payload
+    + params + crc matter here).  ~5x cheaper than the auto-choice
+    encoder, which is pure overhead for rows that live one shuffle."""
+    cols: dict[str, list] = {k.name: [] for k in _ENC_ARROW}
+    for idx, col in enumerate(columns):
+        arr = table[col].combine_chunks()
+        tag = arrow_tag(arr.type)
+        codec = "raw_str" if tag in STR_TAGS else (
+            "raw64" if tag == "f64" else "for_bitpack"
+        )
+        tag, payload, params = encode_column_arrow(arr, codec)
+        cols["chunk_id"].append(chunk_id)
+        cols["col_idx"].append(idx)
+        cols["column"].append(col)
+        cols["dtype"].append(tag)
+        cols["codec"].append(codec)
+        cols["params"].append(json.dumps(params))
+        cols["payload"].append(payload)
+        cols["n_values"].append(len(arr))
+        cols["raw_bytes"].append(0)
+        cols["ref_bytes"].append(0)
+        cols["enc_bytes"].append(len(payload))
+        cols["crc32"].append(zlib.crc32(payload))
+        cols["reason"].append("fragment")
+        cols["stats"].append(None)
+    return pa.table(cols, schema=_ENC_ARROW)
+
+
+def _encode_table_fragment_merge(
+    df: DataFrame,
+    scan,
+    key: str,
+    columns: list[str],
+    codecs: dict[str, str],
+    n_chunks: int,
+    sort_within_chunk: bool,
+    stats_group_by: str | None,
+) -> DataFrame:
+    """Hash-chunk encode that never shuffles raw rows (guide §8: decide
+    with small rows, move big rows once — here the heavy bytes move only
+    as compressed fragments).
+
+    The one-shuffle :func:`encode_table` pays twice per value on tables
+    like lineitem: the JVM row->Arrow transpose into Python (measured
+    2.9 s of a 5.5 s encode at sf1.0) and the raw-row shuffle (~1.6 s).
+    This topology re-orders the pipeline:
+
+    1. python-side scan (pyscan.py): each task reads its parquet split
+       directly, computes chunk membership with the bit-exact numpy XXH64
+       (``pmod(xxh64(key), n_chunks)`` == Spark's expression), and encodes
+       each chunk's rows as a FRAGMENT — auto-codec, so fragments ship at
+       the compressed ratio (~0.2x for integer tables);
+    2. ONE shuffle of the fragments (a few KB-MB rows, no transpose),
+       grouped on anti-collision magic keys (guide §2.5);
+    3. per chunk: decode fragments, concatenate, key-sort, and re-encode
+       the whole chunk with the standard machinery — the emitted rows
+       satisfy the identical contract (chunk ids, codec auto-choice,
+       stats, grouped partials).
+
+    Worth it only when decode+re-encode is cheap relative to the raw-row
+    transpose+shuffle — i.e. integer-dominated tables; the caller gates
+    on the parquet footers' BYTE_ARRAY byte fraction."""
+    spark = df.sparkSession
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = n_chunks
+    magics = _chunk_key_remap(n_chunks, max(n_part, 1))
+    frag_columns = list(columns) + ([key] if key not in columns else [])
+
+    from ..kernels.xxh64 import pmod as _pmod
+    from ..kernels.xxh64 import xxh64_bytes_bo, xxh64_int64
+
+    def frag_fn(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        batches = list(batches)
+        if not batches:
+            return
+        table = pa.Table.from_batches(batches)
+        karr = table[key].combine_chunks()
+        nulls = None
+        if karr.null_count:
+            nulls = pc.is_null(karr).to_numpy(zero_copy_only=False)
+            karr = pc.fill_null(
+                karr,
+                "" if pa.types.is_string(karr.type)
+                or pa.types.is_large_string(karr.type)
+                else b"" if pa.types.is_binary(karr.type)
+                or pa.types.is_large_binary(karr.type)
+                else 0,
+            )
+        if pa.types.is_integer(karr.type):
+            h = xxh64_int64(karr.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        else:
+            blob, offs = arrow_to_bo(karr)
+            h = xxh64_bytes_bo(blob, offs)
+        if nulls is not None:
+            h[nulls] = 42  # xxhash64(NULL) = the seed, per Spark
+        code = _pmod(h, n_chunks)
+        order = np.argsort(code, kind="stable")
+        table = table.take(pa.array(order))
+        cv = code[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(cv[1:] != cv[:-1]) + 1, [len(cv)]]
+        )
+        for ordinal, (a, b) in enumerate(zip(starts[:-1], starts[1:])):
+            frag = table.slice(a, b - a)
+            logical = int(cv[a])
+            enc = _encode_fragment_rows(frag, frag_columns, logical)
+            k = enc.num_rows
+            enc = enc.append_column(
+                "__gkey", pa.array(np.full(k, magics[logical], np.int64))
+            )
+            enc = enc.append_column(
+                "__frag",
+                pa.array(np.full(k, (pid << 20) | ordinal, np.int64)),
+            )
+            yield from enc.to_batches()
+
+    frags = pyscan_map_in_arrow(
+        spark, scan, frag_fn, FRAG_SCHEMA,
+        columns=frag_columns, group="split", canonical_ts=True,
+    )
+
+    def merge_fn(table: pa.Table) -> pa.Table:
+        logical = int(table["chunk_id"][0].as_py())
+        table = table.take(
+            pc.sort_indices(
+                table, [("__frag", "ascending"), ("col_idx", "ascending")]
+            )
+        )
+        dtypes = {
+            table["column"][i].as_py(): table["dtype"][i].as_py()
+            for i in range(table.num_rows)
+        }
+        parts: dict[str, list] = {}
+        for name, codec, payload, params, crc, cid, nv in _iter_enc_rows(table):
+            if crc is not None and zlib.crc32(payload) != crc:
+                raise IOError(
+                    f"fragment corruption: chunk {cid} column {name!r} crc mismatch"
+                )
+            arr = decode_column_arrow(
+                dtypes[name], codec, payload, json.loads(params), nv
+            )
+            parts.setdefault(name, []).append(arr.cast(tag_to_arrow(dtypes[name])))
+        tbl = pa.table({c: pa.concat_arrays(parts[c]) for c in frag_columns})
+        if sort_within_chunk:
+            tbl = tbl.take(pc.sort_indices(tbl[key]))
+        return _encode_columns_to_rows(
+            tbl, columns, codecs, logical, stats_group_by=stats_group_by
+        )
+
+    return frags.groupBy("__gkey").applyInArrow(merge_fn, schema=ENCODED_SCHEMA)
+
+
 def encode_table(
     df: DataFrame,
     key: str,
@@ -507,6 +678,23 @@ def encode_table(
     if unknown:
         raise ValueError(f"codecs for unknown columns: {sorted(unknown)}")
     _check_stats_group_by(stats_group_by, columns)
+    # fragment-merge fast path: integer-dominated bare parquet scans skip
+    # the raw-row shuffle AND the JVM row->Arrow transpose (see
+    # _encode_table_fragment_merge).  String-heavy tables stay on the
+    # row-shuffle path — their decode+re-encode (FSST) would cost more
+    # than the transpose saves.
+    scan = parquet_scan_info(df)
+    if scan is not None:
+        from .pyscan import byte_array_fraction
+
+        key_type = dict(df.dtypes).get(key)
+        if key_type in ("string", "binary", "bigint") and byte_array_fraction(
+            scan[0]
+        ) < 0.25:
+            return _encode_table_fragment_merge(
+                df, scan, key, columns, codecs, n_chunks,
+                sort_within_chunk, stats_group_by,
+            )
     logical = F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks))
     # anti-collision grouping key (guide §2.5): group on a magic long per
     # chunk whose hash partition is unique/even instead of the raw chunk
@@ -725,6 +913,53 @@ def encode_table_bucketed(
             enc = enc.append_column("bucket", pa.array(np.full(enc.num_rows, bucket, np.int64)))
             yield from enc.to_batches()
 
+    # python-side scan fast path (pyscan.py): read the input files with
+    # pyarrow inside the task and compute the bucket with the numpy XXH64
+    # kernel (bit-identical to Spark's xxhash64 — kernels/xxh64.py, pinned
+    # by tests), skipping the JVM row->Arrow transpose of the whole raw
+    # table.  Only for key types whose Spark hashing the kernel replicates
+    # (string/binary utf8 bytes, LongType 8-byte LE).
+    scan = parquet_scan_info(df)
+    key_type = dict(df.dtypes).get(key)
+    if scan is not None and key_type in ("string", "binary", "bigint"):
+        from ..kernels.xxh64 import pmod as _pmod
+        from ..kernels.xxh64 import xxh64_bytes_bo, xxh64_int64
+
+        def fn_with_bucket(batches):
+            def gen():
+                for b in batches:
+                    t = pa.Table.from_batches([b])
+                    karr = t[key].combine_chunks()
+                    nulls = None
+                    if karr.null_count:
+                        nulls = pc.is_null(karr).to_numpy(zero_copy_only=False)
+                        karr = pc.fill_null(
+                            karr,
+                            "" if pa.types.is_string(karr.type)
+                            or pa.types.is_large_string(karr.type)
+                            else b"" if pa.types.is_binary(karr.type)
+                            or pa.types.is_large_binary(karr.type)
+                            else 0,
+                        )
+                    if pa.types.is_integer(karr.type):
+                        h = xxh64_int64(
+                            karr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        )
+                    else:
+                        blob, offs = arrow_to_bo(karr)
+                        h = xxh64_bytes_bo(blob, offs)
+                    if nulls is not None:
+                        h[nulls] = 42  # xxhash64(NULL) = the seed, per Spark
+                    bucket = _pmod(h, n_buckets)
+                    t = t.append_column("__bucket", pa.array(bucket, pa.int64()))
+                    yield from t.to_batches()
+
+            yield from fn(gen())
+
+        return pyscan_map_in_arrow(
+            df.sparkSession, scan, fn_with_bucket, BUCKETED_SCHEMA,
+            columns=select_cols, group="split", canonical_ts=True,
+        )
     return df.select(*select_cols, bucket_col).mapInArrow(fn, schema=BUCKETED_SCHEMA)
 
 

@@ -83,6 +83,30 @@ def parquet_scan_info(df) -> tuple[list[str], list[tuple[str, str]]] | None:
         return None
 
 
+def byte_array_fraction(paths: list[str], sample: int = 4) -> float:
+    """Fraction of uncompressed bytes held by BYTE_ARRAY (string/binary)
+    columns, from the parquet footers of up to ``sample`` files — a
+    planning heuristic for topology choice (string-heavy tables should
+    ship rows once; integer tables can ship compressed fragments).
+    Returns 1.0 (string-heavy, the conservative answer) on any error."""
+    import pyarrow.parquet as pq
+
+    tot = ba = 0
+    try:
+        for p in paths[:sample]:
+            md = pq.ParquetFile(p).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    sz = col.total_uncompressed_size
+                    tot += sz
+                    if col.physical_type == "BYTE_ARRAY":
+                        ba += sz
+    except Exception:
+        return 1.0
+    return ba / tot if tot else 1.0
+
+
 def _total_bytes(paths: list[str]) -> int:
     total = 0
     for p in paths:
@@ -93,28 +117,65 @@ def _total_bytes(paths: list[str]) -> int:
     return total
 
 
-def _group_by_dir(paths: list[str]) -> list[list[str]]:
-    groups: dict[str, list[str]] = {}
+def _group_by_dir(paths: list[str]) -> list[list]:
+    groups: dict[str, list] = {}
     for p in paths:
-        groups.setdefault(os.path.dirname(p), []).append(p)
+        groups.setdefault(os.path.dirname(p), []).append([p, None])
     return [groups[d] for d in sorted(groups)]
 
 
-def _group_by_size(paths: list[str], target_bytes: int) -> list[list[str]]:
-    """Sequential first-fit packing mirroring Spark's split packing
-    (file size + open cost per file, capped at ``target_bytes``)."""
-    groups: list[list[str]] = []
-    cur: list[str] = []
-    acc = 0
+def _group_by_size(
+    paths: list[str], max_partition_bytes: int, parallelism: int
+) -> list[list]:
+    """Sequential first-fit packing mirroring Spark's split sizing:
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    (totalBytes + files*openCost) / defaultParallelism))`` — without the
+    parallelism term a small table would pack into one or two oversized
+    python tasks and idle the other cores.
+
+    A file larger than the target is split at ROW-GROUP granularity
+    (``[path, [rg, ...]]`` units), mirroring Spark's byte-range file
+    splits — a single-file table must not serialize into one task."""
+    sizes = []
     for p in paths:
         try:
-            sz = os.path.getsize(p) + _OPEN_COST
+            sizes.append(os.path.getsize(p) + _OPEN_COST)
         except OSError:
-            sz = target_bytes
-        if cur and acc + sz > target_bytes:
+            sizes.append(max_partition_bytes)
+    total = sum(sizes)
+    target = min(
+        max_partition_bytes,
+        max(_OPEN_COST, -(-total // max(parallelism, 1))),
+    )
+    units: list[tuple] = []  # (path, rg_list_or_None, size)
+    for p, sz in zip(paths, sizes):
+        if sz > target * 1.5:
+            try:
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    rg_sz = sum(
+                        md.row_group(rg).column(ci).total_compressed_size
+                        for ci in range(md.num_columns)
+                    )
+                    units.append((p, [rg], rg_sz + _OPEN_COST // md.num_row_groups))
+                continue
+            except Exception:
+                pass
+        units.append((p, None, sz))
+    groups: list[list] = []
+    cur: list = []
+    acc = 0
+    for p, rgs, sz in units:
+        if cur and acc + sz > target:
             groups.append(cur)
             cur, acc = [], 0
-        cur.append(p)
+        # merge adjacent row-group units of the same file into one entry
+        if rgs is not None and cur and cur[-1][0] == p and cur[-1][1] is not None:
+            cur[-1][1].extend(rgs)
+        else:
+            cur.append([p, rgs])
         acc += sz
     if cur:
         groups.append(cur)
@@ -158,14 +219,19 @@ def _read_tables(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    part_names = [n for n, _ in part_cols]
-    for path in group:
+    for path, rgs in group:
+        pf = pq.ParquetFile(path, memory_map=True)
         if columns is not None:
-            avail = pq.read_schema(path).names
+            avail = pf.schema_arrow.names
             want = [c for c in columns if c in avail]
         else:
             want = None
-        t = pq.read_table(path, columns=want, memory_map=True)
+        # use_threads=False: tasks already saturate the cores; Arrow's own
+        # pool on top of 32 concurrent tasks only adds contention
+        if rgs is not None:
+            t = pf.read_row_groups(rgs, columns=want, use_threads=False)
+        else:
+            t = pf.read(columns=want, use_threads=False)
         if part_cols:
             pv = _part_values(path, part_cols)
             for (name, typ), v in zip(part_cols, pv):
@@ -221,7 +287,7 @@ def pyscan_map_in_arrow(
             target = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
         except Exception:
             target = 128 << 20
-        groups = _group_by_size(paths, target)
+        groups = _group_by_size(paths, target, spark.sparkContext.defaultParallelism)
     cf = sorted(column_filter) if column_filter is not None else None
 
     def task_fn(batches):
