@@ -685,12 +685,24 @@ def encode_table(
     # than the transpose saves.
     scan = parquet_scan_info(df)
     if scan is not None:
-        from .pyscan import byte_array_fraction
+        from .pyscan import _group_by_size, byte_array_fraction
 
         key_type = dict(df.dtypes).get(key)
-        if key_type in ("string", "binary", "bigint") and byte_array_fraction(
-            scan[0]
-        ) < 0.25:
+        try:
+            mpb = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"))
+        except Exception:
+            mpb = 128 << 20
+        n_groups = len(_group_by_size(
+            scan[0], mpb, df.sparkSession.sparkContext.defaultParallelism
+        ))
+        # measured gate: the two-stage topology wins only when stage 1 can
+        # actually parallelize (sf1.0 lineitem, 6 row groups: 3.3s vs 5.5s;
+        # sf0.1, ONE row group: 3.6s vs 1.8s — a serial stage 1 loses)
+        if (
+            key_type in ("string", "binary", "bigint")
+            and n_groups >= 4
+            and byte_array_fraction(scan[0]) < 0.25
+        ):
             return _encode_table_fragment_merge(
                 df, scan, key, columns, codecs, n_chunks,
                 sort_within_chunk, stats_group_by,
