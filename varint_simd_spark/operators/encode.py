@@ -544,8 +544,9 @@ def _encode_table_fragment_merge(
     1. python-side scan (pyscan.py): each task reads its parquet split
        directly, computes chunk membership with the bit-exact numpy XXH64
        (``pmod(xxh64(key), n_chunks)`` == Spark's expression), and encodes
-       each chunk's rows as a FRAGMENT — auto-codec, so fragments ship at
-       the compressed ratio (~0.2x for integer tables);
+       each chunk's rows as a FRAGMENT — lean fixed codecs
+       (:func:`_encode_fragment_rows`), so fragments ship compressed
+       (clustered integer keys pack hard under for_bitpack);
     2. ONE shuffle of the fragments (a few KB-MB rows, no transpose),
        grouped on anti-collision magic keys (guide §2.5);
     3. per chunk: decode fragments, concatenate, key-sort, and re-encode
